@@ -1,0 +1,45 @@
+"""Block-size dispatch tables for the Pallas kernels.
+
+The TPU analogue of the reference's compile-time layout tables
+(reference: flash_cosine_sim_attention_cuda.cu:320-597, which picks
+threads-per-block / tile sizes per dtype and head-dim).  On TPU the MXU is a
+128x128 systolic array and VMEM is ~16 MB/core, so tiles are much larger
+than the reference's 64x64: the table below is keyed by (dtype kind,
+head_dim) and was tuned on TPU v5e.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# head dims the reference supports (cu:84: {16, 32, 64, 96, 128}); we accept
+# any multiple of 8 but tune for these.
+ALLOWED_DIM_HEADS = (16, 32, 64, 96, 128)
+
+EPS = 1e-10  # rowsum clamp, matches reference kernel eps (cu:83)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pick_block_sizes(dtype, head_dim: int, seq_q: int, seq_k: int):
+    """Return (block_q, block_k) for the fused kernels.
+
+    Larger K blocks amortize the per-grid-step overhead; Q blocks are kept
+    moderate so the f32 (block_q, block_k) exp-weight tile and the
+    (block_q, head_dim) accumulator fit VMEM comfortably alongside
+    double-buffered K/V blocks.
+    """
+    if dtype == jnp.float32:
+        block_q, block_k = 256, 512
+    else:  # bf16 / f16: smaller element size, bigger tiles
+        block_q, block_k = 256, 1024
+    if head_dim > 64:
+        block_k = min(block_k, 512)
+
+    # clamp to the (128-aligned) sequence lengths so tiny inputs get a
+    # single masked block instead of a mostly-empty large one
+    block_q = min(block_q, _round_up(max(seq_q, 1), 128))
+    block_k = min(block_k, _round_up(max(seq_k, 1), 128))
+    return block_q, block_k

@@ -1,0 +1,570 @@
+"""Pallas TPU backward kernels for cosine-sim flash attention.
+
+TPU-native redesign of the reference CUDA backward
+(reference: flash_cosine_sim_attention_cuda.cu:1256-1626).  Same math:
+
+  * ``delta = rowsum(dO * O)`` — the dO.O == dP.P identity (README.md:31,
+    cu:1272-1334).  Here it is a one-line XLA reduction, fused by the
+    compiler; no dedicated preprocess kernel needed.
+  * each tile recomputes ``P = exp(scale*qk - scale + bias) * inv_l``
+    (cu:1492-1526), then
+        dV += P^T dO                  (cu:1534-1540)
+        dP  = dO V^T                  (cu:1544-1553)
+        dS  = (dP - delta) * P * scale   (cu:1557-1582)
+        dK += dS^T Q                  (cu:1590-1596)
+        dQ += dS K                    (cu:1600-1610)
+        dB += dS                      (cu:1574-1576)
+
+The CUDA kernel accumulates dQ (and single-head-KV dK/dV, and dB) with
+global-memory atomicAdd.  TPUs have no HBM atomics — instead the backward is
+split so that every output block is owned by exactly one sequential grid
+lane:
+
+  * **dQ kernel**: grid (b, h, q_blocks, k_blocks), K innermost; each Q-row
+    block accumulates its dQ in f32 VMEM scratch across the K loop.
+  * **dKdV kernel**: grid (b, k_blocks, h, q_blocks), (h, q) innermost; each
+    K/V block accumulates dK/dV across the Q loop — and, for single-headed
+    KV, also across the heads loop (the dK/dV index map ignores ``h`` so the
+    VMEM accumulator survives the whole (h, q) sweep; this replaces the
+    reference's atomicAdd head-reduction, cu:1613-1619).
+  * **dB kernel** (only when a bias is given): grid (bias_dim, q_blocks,
+    k_blocks, reduce), where ``reduce`` sweeps the axis the bias is shared
+    over (heads for batch-dim bias, batch for head-dim bias); replaces the
+    reference's atomicAdd bias accumulation (cu:1574-1576).
+
+All accumulation is f32 regardless of input dtype (the reference keeps
+dk/dv in half when possible, cu:1380-1381 — on TPU f32 scratch is free
+enough and strictly more accurate).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blocks import pick_block_sizes
+
+
+def _recompute_p_and_ds(
+    *,
+    s,                 # (rows, cols) f32 raw q.k scores layout-agnostic
+    inv_l,             # broadcastable to s: inverse rowsums along q axis
+    delta,             # broadcastable to s: rowsum(do*o) along q axis
+    dp,                # (rows, cols) f32 = dO V^T in the same layout as s
+    bias,              # broadcastable bias or None (f32)
+    keep,              # bool mask broadcastable to s
+    scale: float,
+):
+    """Shared tile math: P from recomputation, then dS (cu:1492-1582).
+
+    ``keep`` is applied LAST: OOB-padded blocks carry garbage (possibly
+    NaN/Inf) in s/bias/inv_l/delta/dp, and zeroing e early would still let
+    ``0 * NaN`` poison p/ds.  Masking the final products guarantees masked
+    entries are exactly 0 regardless of the garbage upstream.
+    """
+    logits = s * scale - scale
+    if bias is not None:
+        logits = logits + bias
+    e = jnp.exp(logits)
+    p = e * inv_l
+    # raw dS (the bias gradient): scale enters only on the q.k path, so
+    # dQ/dK use ds*scale while dB uses ds as-is (the reference accumulates
+    # db BEFORE the ds *= scale step, cu:1574-1582)
+    ds = p * (dp - delta)
+    p = jnp.where(keep, p, 0.0)
+    ds = jnp.where(keep, ds, 0.0)
+    return p, ds
+
+
+def _dq_kernel(
+    *refs,
+    scale, causal, seq_q, seq_k, block_q, block_k, has_mask, has_bias, out_dtype,
+    precision,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    invl_ref = refs[idx]; idx += 1
+    mask_ref = bias_ref = None
+    if has_mask:
+        mask_ref = refs[idx]; idx += 1
+    if has_bias:
+        bias_ref = refs[idx]; idx += 1
+    dq_ref, dq_acc = refs[idx], refs[idx + 1]
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+    seq_len_diff = seq_k - seq_q
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    run = (qi * block_q + block_q - 1 + seq_len_diff >= ki * block_k) \
+        if causal else True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+
+        # zero K's OOB rows: ds columns there are masked to 0, but
+        # 0 * garbage = NaN in the dS @ K matmul otherwise
+        if seq_k % block_k != 0:
+            k_rows = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0
+            )
+            k = jnp.where(k_rows < seq_k, k, jnp.zeros_like(k))
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (bq, bk)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (bq, bk)
+
+        row_g = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        col_g = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        keep = (row_g < seq_q) & (col_g < seq_k)
+        if causal:
+            keep &= col_g <= (row_g + seq_len_diff)
+        if has_mask:
+            keep &= mask_ref[0] > 0
+
+        inv_l = invl_ref[0, 0]   # (block_q, 1)
+        delta = delta_ref[0, 0]  # (block_q, 1)
+        bias = bias_ref[0].astype(jnp.float32) if has_bias else None
+
+        _, ds = _recompute_p_and_ds(
+            s=s, inv_l=inv_l, delta=delta, dp=dp, bias=bias, keep=keep,
+            scale=scale,
+        )
+        dq_acc[...] += jax.lax.dot_general(
+            (ds * scale).astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[...].astype(out_dtype)
+
+
+def _dkdv_kernel(
+    *refs,
+    scale, causal, seq_q, seq_k, block_q, block_k, has_mask, has_bias,
+    single_head_kv, heads, out_dtype, precision,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    invl_ref = refs[idx]; idx += 1
+    mask_ref = bias_ref = None
+    if has_mask:
+        mask_ref = refs[idx]; idx += 1
+    if has_bias:
+        bias_ref = refs[idx]; idx += 1
+    dk_ref, dv_ref, dk_acc, dv_acc = refs[idx : idx + 4]
+
+    # grid = (b, k_blocks, h, q_blocks)
+    ki = pl.program_id(1)
+    hi = pl.program_id(2)
+    qi = pl.program_id(3)
+    nh = pl.num_programs(2)
+    nq = pl.num_programs(3)
+    seq_len_diff = seq_k - seq_q
+
+    is_first = (qi == 0) & ((hi == 0) if single_head_kv else True)
+    is_last = (qi == nq - 1) & ((hi == nh - 1) if single_head_kv else True)
+
+    @pl.when(is_first)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    run = (qi * block_q + block_q - 1 + seq_len_diff >= ki * block_k) \
+        if causal else True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+
+        # zero Q/dO OOB rows: p_t/ds_t columns there are masked to 0, but
+        # 0 * garbage = NaN in the P^T @ dO and dS^T @ Q matmuls otherwise
+        if seq_q % block_q != 0:
+            q_rows = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0
+            )
+            in_bounds = q_rows < seq_q
+            q = jnp.where(in_bounds, q, jnp.zeros_like(q))
+            do = jnp.where(in_bounds, do, jnp.zeros_like(do))
+
+        # transposed layout: rows = K positions, cols = Q positions, so the
+        # per-Q-row inv_l / delta broadcast along axis 0 with no relayout
+        s_t = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (bk, bq)
+        dp_t = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # (bk, bq)
+
+        krow_g = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, block_q), 0
+        )
+        qcol_g = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, block_q), 1
+        )
+        keep = (krow_g < seq_k) & (qcol_g < seq_q)
+        if causal:
+            keep &= krow_g <= (qcol_g + seq_len_diff)
+        if has_mask:
+            keep &= mask_ref[0, 0] > 0  # (block_k, 1) broadcasts over Q cols
+
+        inv_l = invl_ref[0, 0]   # (1, bq), broadcasts over K rows
+        delta = delta_ref[0, 0]  # (1, bq)
+        bias = bias_ref[0].astype(jnp.float32).T if has_bias else None
+
+        p_t, ds_t = _recompute_p_and_ds(
+            s=s_t, inv_l=inv_l, delta=delta, dp=dp_t, bias=bias, keep=keep,
+            scale=scale,
+        )
+        # zero dO's OOB rows are already handled: p_t/ds_t cols for OOB q
+        # rows are zeroed by `keep`, so garbage dO rows never contribute
+        dv_acc[...] += jax.lax.dot_general(
+            p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        dk_acc[...] += jax.lax.dot_general(
+            (ds_t * scale).astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(is_last)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[...].astype(out_dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(out_dtype)
+
+
+def _db_kernel(
+    *refs,
+    scale, causal, seq_q, seq_k, block_q, block_k, has_mask, out_dtype,
+    precision,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    do_ref = refs[idx]; idx += 1
+    delta_ref = refs[idx]; idx += 1
+    invl_ref = refs[idx]; idx += 1
+    mask_ref = None
+    if has_mask:
+        mask_ref = refs[idx]; idx += 1
+    bias_ref = refs[idx]; idx += 1
+    db_ref, db_acc = refs[idx], refs[idx + 1]
+
+    # grid = (bias_dim, q_blocks, k_blocks, reduce_axis)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    ri = pl.program_id(3)
+    nr = pl.num_programs(3)
+    seq_len_diff = seq_k - seq_q
+
+    @pl.when(ri == 0)
+    def _init():
+        db_acc[...] = jnp.zeros_like(db_acc)
+
+    run = (qi * block_q + block_q - 1 + seq_len_diff >= ki * block_k) \
+        if causal else True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        row_g = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        col_g = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        keep = (row_g < seq_q) & (col_g < seq_k)
+        if causal:
+            keep &= col_g <= (row_g + seq_len_diff)
+        if has_mask:
+            keep &= mask_ref[0] > 0
+
+        inv_l = invl_ref[0, 0]   # (block_q, 1)
+        delta = delta_ref[0, 0]  # (block_q, 1)
+        bias = bias_ref[0].astype(jnp.float32)
+
+        _, ds = _recompute_p_and_ds(
+            s=s, inv_l=inv_l, delta=delta, dp=dp, bias=bias, keep=keep,
+            scale=scale,
+        )
+        db_acc[...] += ds
+
+    @pl.when(ri == nr - 1)
+    def _finalize():
+        db_ref[0] = db_acc[...].astype(out_dtype)
+
+
+def flash_attention_backward(
+    do: jax.Array,
+    o: jax.Array,
+    inv_l: jax.Array,             # (b, h, i) f32 inverse rowsums from fwd
+    q: jax.Array,                 # (b, h, i, d), l2-normalized
+    k: jax.Array,                 # (b, kvh, j, d)
+    v: jax.Array,
+    mask: Optional[jax.Array],    # (b, j) bool
+    bias: Optional[jax.Array],    # (b|h, i, j)
+    *,
+    bias_batch_dim: bool,
+    scale: float,
+    causal: bool,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Full backward; returns (dq, dk, dv, db_or_None)."""
+    b, h, seq_q, d = q.shape
+    kvh = k.shape[1]
+    seq_k = k.shape[2]
+    single_head_kv = kvh == 1 and h > 1
+
+    bq_d, bk_d = pick_block_sizes(q.dtype, d, seq_q, seq_k)
+    block_q = block_q or bq_d
+    block_k = block_k or bk_d
+    nq = pl.cdiv(seq_q, block_q)
+    nk = pl.cdiv(seq_k, block_k)
+
+    # delta = rowsum(dO . O): the dO.O == dP.P identity (README.md:31);
+    # a plain XLA reduction replaces the reference's preprocess kernel.
+    # Two layouts: (b,h,i,1) for the q-major kernels (dQ, dB) and (b,h,1,i)
+    # for the transposed dKdV kernel, so per-q-row values broadcast onto the
+    # score tile with no in-kernel relayout.
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (b, h, i, 1)
+    delta_t = delta.swapaxes(-1, -2)    # (b, h, 1, i)
+    inv_l_t = inv_l.swapaxes(-1, -2)    # (b, h, 1, i)
+
+    has_mask = mask is not None
+    has_bias = bias is not None
+    mask_f = mask.astype(jnp.float32)[:, None, :] if has_mask else None
+    precision = (jax.lax.Precision.HIGHEST
+                 if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    kv_head = (lambda hi: hi) if kvh > 1 else (lambda hi: 0)
+
+    # ---------------- dQ kernel: grid (b, h, nq, nk) ----------------
+    dq_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda bi, hi, qi, ki: (bi, kv_head(hi), ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda bi, hi, qi, ki: (bi, kv_head(hi), ki, 0)),
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+    ]
+    dq_args = [q, k, v, do, delta, inv_l]
+    if has_mask:
+        dq_args.append(mask_f)
+        dq_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki))
+        )
+    if has_bias:
+        dq_args.append(bias)
+        if bias_batch_dim:
+            bidx = lambda bi, hi, qi, ki: (bi, qi, ki)
+        else:
+            bidx = lambda bi, hi, qi, ki: (hi, qi, ki)
+        dq_specs.append(pl.BlockSpec((1, block_q, block_k), bidx))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, scale=float(scale), causal=causal, seq_q=seq_q,
+            seq_k=seq_k, block_q=block_q, block_k=block_k, has_mask=has_mask,
+            has_bias=has_bias, out_dtype=q.dtype, precision=precision,
+        ),
+        grid=(b, h, nq, nk),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*dq_args)
+
+    # ------------- dKdV kernel: grid (b, nk, h, nq) -------------
+    dkv_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, ki, hi, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda bi, ki, hi, qi: (bi, kv_head(hi), ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda bi, ki, hi, qi: (bi, kv_head(hi), ki, 0)),
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, ki, hi, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, 1, block_q), lambda bi, ki, hi, qi: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, 1, 1, block_q), lambda bi, ki, hi, qi: (bi, hi, 0, qi)),
+    ]
+    dkv_args = [q, k, v, do, delta_t, inv_l_t]
+    if has_mask:
+        # (b, 1, j, 1) so the block reads as a (block_k, 1) column vector
+        dkv_args.append(mask_f[:, :, :, None])
+        dkv_specs.append(
+            pl.BlockSpec((1, 1, block_k, 1), lambda bi, ki, hi, qi: (bi, 0, ki, 0))
+        )
+    if has_bias:
+        dkv_args.append(bias)
+        if bias_batch_dim:
+            bidx2 = lambda bi, ki, hi, qi: (bi, qi, ki)
+        else:
+            bidx2 = lambda bi, ki, hi, qi: (hi, qi, ki)
+        dkv_specs.append(pl.BlockSpec((1, block_q, block_k), bidx2))
+
+    kv_out_spec = pl.BlockSpec(
+        (1, 1, block_k, d), lambda bi, ki, hi, qi: (bi, kv_head(hi), ki, 0)
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkdv_kernel, scale=float(scale), causal=causal, seq_q=seq_q,
+            seq_k=seq_k, block_q=block_q, block_k=block_k, has_mask=has_mask,
+            has_bias=has_bias, single_head_kv=(kvh == 1), heads=h,
+            out_dtype=k.dtype, precision=precision,
+        ),
+        grid=(b, nk, h, nq),
+        in_specs=dkv_specs,
+        out_specs=[kv_out_spec, kv_out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*dkv_args)
+
+    db = None
+    if has_bias:
+        db = _bias_grad(
+            q, k, v, do, delta, inv_l, mask_f, bias,
+            bias_batch_dim=bias_batch_dim, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, nq=nq, nk=nk,
+            interpret=interpret,
+        )
+    return dq, dk, dv, db
+
+
+def _bias_grad(
+    q, k, v, do, delta, inv_l, mask_f, bias, *,
+    bias_batch_dim, scale, causal, block_q, block_k, nq, nk, interpret,
+):
+    """dB kernel: reduce dS over the axis the bias is broadcast over."""
+    b, h, seq_q, d = q.shape
+    kvh = k.shape[1]
+    seq_k = k.shape[2]
+    has_mask = mask_f is not None
+    kv_head = (lambda hi: hi) if kvh > 1 else (lambda hi: 0)
+    precision = (jax.lax.Precision.HIGHEST
+                 if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+    # grid = (bias_dim, nq, nk, reduce): reduce over heads for batch-dim
+    # bias, over batch for head-dim bias
+    if bias_batch_dim:
+        nb, nr = b, h
+        bh = lambda ni, ri: (ni, ri)     # (batch, head) from (bias idx, reduce)
+    else:
+        nb, nr = h, b
+        bh = lambda ni, ri: (ri, ni)
+
+    specs = [
+        pl.BlockSpec((1, 1, block_q, d),
+                     lambda ni, qi, ki, ri: (*bh(ni, ri), qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda ni, qi, ki, ri: (bh(ni, ri)[0],
+                                             kv_head(bh(ni, ri)[1]), ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda ni, qi, ki, ri: (bh(ni, ri)[0],
+                                             kv_head(bh(ni, ri)[1]), ki, 0)),
+        pl.BlockSpec((1, 1, block_q, d),
+                     lambda ni, qi, ki, ri: (*bh(ni, ri), qi, 0)),
+        pl.BlockSpec((1, 1, block_q, 1),
+                     lambda ni, qi, ki, ri: (*bh(ni, ri), qi, 0)),
+        pl.BlockSpec((1, 1, block_q, 1),
+                     lambda ni, qi, ki, ri: (*bh(ni, ri), qi, 0)),
+    ]
+    args = [q, k, v, do, delta, inv_l]
+    if has_mask:
+        args.append(mask_f)
+        specs.append(
+            pl.BlockSpec((1, 1, block_k),
+                         lambda ni, qi, ki, ri: (bh(ni, ri)[0], 0, ki))
+        )
+    args.append(bias)
+    specs.append(
+        pl.BlockSpec((1, block_q, block_k), lambda ni, qi, ki, ri: (ni, qi, ki))
+    )
+
+    db = pl.pallas_call(
+        functools.partial(
+            _db_kernel, scale=float(scale), causal=causal, seq_q=seq_q,
+            seq_k=seq_k, block_q=block_q, block_k=block_k, has_mask=has_mask,
+            out_dtype=bias.dtype, precision=precision,
+        ),
+        grid=(nb, nq, nk, nr),
+        in_specs=specs,
+        out_specs=pl.BlockSpec(
+            (1, block_q, block_k), lambda ni, qi, ki, ri: (ni, qi, ki)
+        ),
+        out_shape=jax.ShapeDtypeStruct(bias.shape, bias.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, block_k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return db

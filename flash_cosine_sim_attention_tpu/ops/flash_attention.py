@@ -1,0 +1,137 @@
+"""Public fused cosine-sim flash attention op.
+
+Mirrors the reference's public API exactly
+(reference: flash_cosine_sim_attention/flash_cosine_sim_attention.py:308-334
+and the autograd Function at .py:245-304), rebuilt TPU-native:
+
+  * the torch ``autograd.Function`` becomes ``jax.custom_vjp`` wired to the
+    Pallas forward/backward kernels, saving ``(o, inv_l, q, k, v, mask,
+    bias)`` as residuals exactly like ``ctx.save_for_backward`` (.py:270);
+  * the CUDA-vs-CPU device dispatch (.py:323) becomes Pallas
+    compiled-vs-interpret dispatch: on TPU the kernels compile via Mosaic,
+    anywhere else they run in interpreter mode so the same code path works
+    on CPU CI;
+  * the dtype/head-dim template dispatch (dispatch.h) collapses into
+    Python: kernels are specialized per static config by tracing, cached by
+    ``jit`` + an ``lru_cache`` of custom_vjp wrappers.
+
+Shape rules (ref cu:1647-1675): 3-D q means merged batch-heads (forces
+``attn_bias_batch_dim=True``); 3-D k/v means single-headed KV (PaLM-style);
+mask is (b, j) boolean; bias is (b, i, j) or (h, i, j).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .bwd_kernel import flash_attention_backward
+from .fwd_kernel import flash_attention_forward
+from .reference import canonicalize_qkv, l2norm_tensors
+
+
+def _use_interpret() -> bool:
+    """Pallas interpret mode everywhere but real TPUs (CPU CI, dry runs)."""
+    return jax.default_backend() != "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(scale, causal, bias_batch_dim, block_q, block_k, interpret):
+    """Build the custom-vjp fused op for one static configuration."""
+
+    kw = dict(
+        bias_batch_dim=bias_batch_dim,
+        scale=scale,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def fused(q, k, v, mask, bias):
+        o, _ = flash_attention_forward(q, k, v, mask, bias, **kw)
+        return o
+
+    def fused_fwd(q, k, v, mask, bias):
+        o, inv_l = flash_attention_forward(q, k, v, mask, bias, **kw)
+        return o, (o, inv_l, q, k, v, mask, bias)
+
+    def fused_bwd(res, do):
+        o, inv_l, q, k, v, mask, bias = res
+        dq, dk, dv, db = flash_attention_backward(
+            do, o, inv_l, q, k, v, mask, bias, **kw
+        )
+        return dq, dk, dv, None, db
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def flash_cosine_sim_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    attn_bias: Optional[jax.Array] = None,
+    scale: float = 8.0,
+    groups: int = 1,
+    causal: bool = False,
+    l2norm_qk: bool = True,
+    attn_bias_batch_dim: bool = False,
+    *,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused cosine-sim flash attention (signature: ref .py:308-318).
+
+    Args:
+      q: (b, h, i, d) queries, or (b*h, i, d) merged batch-head.
+      k, v: (b, h, j, d), or (b, j, d) for single-headed KV.
+      mask: (b, j) boolean key mask (True = attend); exclusive with causal.
+      attn_bias: (b, i, j) if ``attn_bias_batch_dim`` else (h, i, j);
+        differentiable.
+      scale: fixed logit scale applied to the cosine similarity (default 8,
+        the reference's default; large-model experiments use 10 with
+        groups>1 — reference README.md:200-206).
+      groups: grouped-l2norm groups.
+      causal: causal masking with cross-attention alignment.
+      l2norm_qk: l2-normalize q/k here (set False if normalized outside).
+      attn_bias_batch_dim: bias leading dim is batch instead of heads.
+      block_q/block_k: kernel tile-size override (default: tuned table).
+      interpret: force Pallas interpret mode (default: auto off-TPU).
+
+    Returns attention output with the same shape/dtype as ``q``.
+    """
+    assert not (causal and mask is not None), (
+        "mask should not be supplied if causality is needed"
+    )
+
+    if l2norm_qk:
+        q, k = l2norm_tensors(q, k, groups=groups)
+
+    q4, k4, v4, merged, _, bias_batch_dim = canonicalize_qkv(
+        q, k, v, attn_bias_batch_dim
+    )
+
+    if interpret is None:
+        interpret = _use_interpret()
+
+    fused = _make_fused(
+        float(scale), bool(causal), bool(bias_batch_dim),
+        block_q, block_k, bool(interpret),
+    )
+    o = fused(q4, k4, v4, mask, attn_bias)
+
+    if merged:
+        o = o[:, 0]
+    return o
+
+
+def debug():
+    """No-op debug hook, kept for API parity (ref cu:1921-1926)."""
+    return None

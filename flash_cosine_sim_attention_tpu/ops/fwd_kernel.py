@@ -1,0 +1,242 @@
+"""Pallas TPU forward kernel for cosine-sim flash attention.
+
+TPU-native redesign of the reference CUDA forward kernel
+(reference: flash_cosine_sim_attention_cuda.cu:1072-1247).  The algorithm is
+the same — because Q/K are l2-normalized and multiplied by a fixed scale,
+logits are bounded by ``scale``, so each tile exponentiates
+``exp(scale*sim - scale + bias)`` directly with NO running row-max
+(cu:1204-1217), accumulates un-normalized O and the row-sum L, and divides
+by L once at the end (cu:1239-1246).
+
+The mapping to TPU is very different from the CUDA realization:
+
+  * grid = (batch, heads, q_blocks, k_blocks) with the K axis innermost and
+    marked "arbitrary" (sequential); batch/head/q axes are "parallel".
+    This replaces the CUDA block grid (cu:1714-1718).
+  * the Q block's index map ignores the K axis, so Mosaic keeps the Q tile
+    resident in VMEM across the whole K loop — the TPU equivalent of the
+    reference's shared-memory Q fragment caching (cu:110-159).
+  * the f32 O accumulator and rowsum live in VMEM scratch, which persists
+    across sequential grid steps; warp tiles / WMMA fragments (cu:604-1067)
+    collapse into plain ``jnp.dot`` on VMEM blocks lowered onto the MXU.
+  * causal tiles strictly above the diagonal are skipped with ``pl.when``
+    (the analogue of the early-exit at cu:1178), and partially-masked tiles
+    fuse bounds + causal + key-mask + bias into the exp in one vectorized
+    ``jnp.where`` (cu:1204-1217).
+  * non-multiple sequence lengths are handled by masked edges (bounds
+    tests against iota), not padding copies.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blocks import EPS, pick_block_sizes
+
+
+def _fwd_kernel(
+    # refs (mask/bias optional, controlled by has_mask/has_bias)
+    *refs,
+    scale: float,
+    causal: bool,
+    seq_q: int,
+    seq_k: int,
+    block_q: int,
+    block_k: int,
+    has_mask: bool,
+    has_bias: bool,
+    out_dtype,
+    precision,
+):
+    idx = 0
+    q_ref = refs[idx]; idx += 1
+    k_ref = refs[idx]; idx += 1
+    v_ref = refs[idx]; idx += 1
+    mask_ref = None
+    bias_ref = None
+    if has_mask:
+        mask_ref = refs[idx]; idx += 1
+    if has_bias:
+        bias_ref = refs[idx]; idx += 1
+    o_ref, l_ref, acc_ref, lsum_ref = refs[idx : idx + 4]
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+    seq_len_diff = seq_k - seq_q  # cross-attn causal alignment (cu:1097)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        lsum_ref[...] = jnp.zeros_like(lsum_ref)
+
+    # skip tiles that are fully above the causal diagonal (cu:1178)
+    q_last_global = qi * block_q + block_q - 1 + seq_len_diff
+    run = (q_last_global >= ki * block_k) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]  # (block_q, d)
+        k = k_ref[0, 0]  # (block_k, d)
+        v = v_ref[0, 0]  # (block_k, d)
+
+        # zero V's out-of-bounds rows: pallas pads OOB reads with garbage,
+        # and garbage*0 = NaN would contaminate the PV matmul
+        if seq_k % block_k != 0:
+            v_rows = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0
+            )
+            v = jnp.where(v_rows < seq_k, v, jnp.zeros_like(v))
+
+        # QK^T on the MXU, f32 accumulation
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # (block_q, block_k)
+
+        logits = s * scale - scale
+        if has_bias:
+            logits = logits + bias_ref[0].astype(jnp.float32)
+
+        # bounded logits -> direct exp, no running max
+        e = jnp.exp(logits)
+
+        # fused masking: bounds + causal + key mask -> zero weight
+        row_g = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        col_g = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        keep = (row_g < seq_q) & (col_g < seq_k)
+        if causal:
+            keep &= col_g <= (row_g + seq_len_diff)
+        if has_mask:
+            keep &= mask_ref[0] > 0  # (1, block_k) broadcasts over rows
+        e = jnp.where(keep, e, 0.0)
+
+        lsum_ref[...] += jnp.sum(e, axis=-1, keepdims=True)
+        acc_ref[...] += jax.lax.dot_general(
+            e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        inv_l = 1.0 / jnp.maximum(lsum_ref[...], EPS)  # (block_q, 1)
+        o_ref[0, 0] = (acc_ref[...] * inv_l).astype(out_dtype)
+        l_ref[0, 0] = inv_l
+
+
+def flash_attention_forward(
+    q: jax.Array,                 # (b, h, i, d)
+    k: jax.Array,                 # (b, kvh, j, d), kvh in {h, 1}
+    v: jax.Array,                 # (b, kvh, j, d)
+    mask: Optional[jax.Array],    # (b, j) bool or None
+    bias: Optional[jax.Array],    # (b|h, i, j) or None
+    *,
+    bias_batch_dim: bool,
+    scale: float,
+    causal: bool,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Launch the fused forward; returns (o, inv_rowsum).
+
+    q/k must already be l2-normalized (normalization, like the reference,
+    happens in the Python wrapper — ref .py:320-321).
+    """
+    b, h, seq_q, d = q.shape
+    kvh = k.shape[1]
+    seq_k = k.shape[2]
+    assert v.shape == k.shape
+    assert kvh in (1, h)
+
+    bq_d, bk_d = pick_block_sizes(q.dtype, d, seq_q, seq_k)
+    block_q = block_q or bq_d
+    block_k = block_k or bk_d
+    nq = pl.cdiv(seq_q, block_q)
+    nk = pl.cdiv(seq_k, block_k)
+
+    kv_head = (lambda hi: hi) if kvh > 1 else (lambda hi: 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec(
+            (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, kv_head(hi), ki, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, kv_head(hi), ki, 0)
+        ),
+    ]
+    args = [q, k, v]
+
+    has_mask = mask is not None
+    has_bias = bias is not None
+    if has_mask:
+        # (b, j) bool -> (b, 1, j) f32 for clean TPU tiling
+        args.append(mask.astype(jnp.float32)[:, None, :])
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki))
+        )
+    if has_bias:
+        args.append(bias)
+        if bias_batch_dim:
+            bias_idx = lambda bi, hi, qi, ki: (bi, qi, ki)
+        else:
+            bias_idx = lambda bi, hi, qi, ki: (hi, qi, ki)
+        in_specs.append(pl.BlockSpec((1, block_q, block_k), bias_idx))
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=float(scale),
+        causal=causal,
+        seq_q=seq_q,
+        seq_k=seq_k,
+        block_q=block_q,
+        block_k=block_k,
+        has_mask=has_mask,
+        has_bias=has_bias,
+        out_dtype=q.dtype,
+        # f32 inputs get full-precision MXU passes (the TPU default quietly
+        # decomposes f32 matmuls into bf16 passes, ~1e-2 error); bf16 inputs
+        # use the native bf16 MXU path with f32 accumulation
+        precision=(jax.lax.Precision.HIGHEST
+                   if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT),
+    )
+
+    # inv rowsums carried as (b, h, seq, 1): a trailing singleton keeps the
+    # block's last-two dims Mosaic-legal ((block_q, 1) = divisible-by-8 x
+    # equal-to-array) where a (1, 1, block_q) block would not be
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, seq_q, d), q.dtype),
+        jax.ShapeDtypeStruct((b, h, seq_q, 1), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+    ]
+
+    o, inv_l = pl.pallas_call(
+        kernel,
+        grid=(b, h, nq, nk),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return o, inv_l
