@@ -1,0 +1,117 @@
+"""Timing harness (TPU rebuild of the reference CUDA-event decorator,
+reference: flash_cosine_sim_attention/benchmark.py:7-58).
+
+Measuring one dispatch at a time is hopeless on a remote-attached TPU
+(RPC latency dwarfs kernel time) and unreliable even locally (async
+dispatch).  Instead the op under test is iterated ``num_times`` inside a
+single jitted ``lax.fori_loop`` with a real data dependence between
+iterations (the output — or its dQ in backward mode — becomes the next
+iteration's query), a scalar is fetched to force execution, and the
+per-iteration time is the slope ``(T(n) - T(1)) / (n - 1)``, which cancels
+dispatch latency and the final transfer.
+
+The reference's three modes map as:
+  * forwards:            iterate jit(fn)
+  * forwards+backwards:  iterate jit(value_and_grad(sum . fn))
+  * backwards-only:      fwd+bwd slope minus fwd slope
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _timed(loop: Callable, n: int) -> float:
+    t0 = time.perf_counter()
+    float(loop(n))
+    return time.perf_counter() - t0
+
+
+def _slope_ms(loop: Callable, n: int, trials: int = 3,
+              target_s: float = 0.4) -> float:
+    """Per-iteration ms via a two-point slope, min over trials.
+
+    ``loop(n)`` runs n data-dependent iterations (n is a runtime arg, one
+    compile).  The iteration count is auto-scaled so the long point runs
+    ~``target_s`` seconds — on a remote-attached TPU the RPC latency is
+    tens of ms with comparable jitter, so short loops measure noise.
+    """
+    float(loop(2))  # warm compile + caches
+    # rough estimate to pick the operating point
+    est = max((_timed(loop, n) - _timed(loop, 1)) / (n - 1), 1e-7)
+    n_long = int(min(max(target_s / est, n), 100_000))
+    n_short = max(n_long // 4, 1)
+    best = float("inf")
+    for _ in range(trials):
+        t_short = _timed(loop, n_short)
+        t_long = _timed(loop, n_long)
+        best = min(best, (t_long - t_short) / (n_long - n_short) * 1e3)
+    return max(best, 0.0)
+
+
+def benchmark(
+    fn: Callable,
+    *args,
+    forwards: bool = True,
+    backwards: bool = False,
+    num_times: int = 20,
+    warmup: int = 0,  # kept for API parity; the slope method needs none
+    grad_argnums=(0, 1, 2),
+) -> float:
+    """Mean ms per fn(*args) call in the requested mode
+    (modes mirror ref benchmark.py:18-56)."""
+    del warmup
+    num_times = max(num_times, 2)
+    q0 = args[0]
+    rest = args[1:]
+
+    def fwd_step(x):
+        return fn(x, *rest).astype(x.dtype)
+
+    def fwdbwd_step(x):
+        def loss(*a):
+            return jnp.sum(fn(*a).astype(jnp.float32))
+        grads = jax.grad(loss, argnums=grad_argnums)((x, *rest)[0], *rest)
+        return grads[0].astype(x.dtype)  # dq chains into next q
+
+    def make_loop(step):
+        @jax.jit
+        def run(n):
+            out = jax.lax.fori_loop(0, n, lambda i, x: step(x), q0)
+            return jnp.sum(out.astype(jnp.float32))
+        return run
+
+    if forwards and not backwards:
+        return _slope_ms(make_loop(fwd_step), num_times)
+    if forwards and backwards:
+        return _slope_ms(make_loop(fwdbwd_step), num_times)
+    t_total = _slope_ms(make_loop(fwdbwd_step), num_times)
+    t_fwd = _slope_ms(make_loop(fwd_step), num_times)
+    return max(t_total - t_fwd, 0.0)
+
+
+def xla_naive_cosine_sim_attention(q, k, v, mask=None, scale=8.0,
+                                   causal=False):
+    """The fair XLA-naive baseline: what a competent user writes without a
+    fused kernel — l2norm, one big logits matmul in the INPUT dtype (f32
+    softmax for stability), unfused.  The oracle in ops.reference upcasts
+    everything to f32/HIGHEST for bit-accuracy and would overstate the
+    fused kernel's speedup at bf16."""
+    from ..ops.reference import l2norm_tensors
+
+    q, k = l2norm_tensors(q, k)
+    s = jnp.einsum("bhid,bhjd->bhij", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if causal:
+        i, j = s.shape[-2:]
+        row = jax.lax.broadcasted_iota(jnp.int32, (i, j), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (i, j), 1)
+        s = jnp.where(col > row + (j - i), -jnp.finfo(jnp.float32).max, s)
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :], s, -jnp.finfo(jnp.float32).max)
+    attn = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhij,bhjd->bhid", attn, v)

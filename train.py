@@ -1,0 +1,182 @@
+"""enwik8 char-LM training driver (TPU-native rebuild of reference train.py).
+
+Reference semantics (train.py:17-133): batch 4, grad-accum 4, Adam lr 2e-4,
+grad-clip 0.5, validate every 100 steps, generate every 500, model dim 512 /
+depth 8 / attn scale 1 with 8 l2norm groups, pre-norm, enwik8 90M/5M split.
+
+TPU-native differences: optax optimizer chain instead of torch Adam+AMP
+GradScaler (bf16 needs no loss scaling), one jitted step that scans over the
+grad-accum microbatches, and jax PRNG data sampling.  If ``data/enwik8.gz``
+is absent (this sandbox has no network), a deterministic synthetic byte
+corpus stands in so the driver stays runnable end-to-end.
+
+Usage:
+  python train.py --seq-len 1024 --steps 1000 [--use-float32] [--no-fused]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from flash_cosine_sim_attention_tpu.models import (
+    CosineSimCausalTransformer,
+    generate,
+)
+
+# constants mirroring reference train.py:25-31
+BATCH_SIZE = 4
+GRAD_ACCUM = 4
+LEARNING_RATE = 2e-4
+VALIDATE_EVERY = 100
+GENERATE_EVERY = 500
+GENERATE_LENGTH = 512
+
+
+def load_data(path="data/enwik8.gz", train_bytes=int(90e6),
+              valid_bytes=int(5e6)):
+    """enwik8 90M/5M split (ref train.py:70-73), synthetic fallback."""
+    if os.path.exists(path):
+        with gzip.open(path) as f:
+            data = np.frombuffer(f.read(int(95e6)), dtype=np.uint8)
+    else:
+        print("data/enwik8.gz not found - using deterministic synthetic "
+              "byte corpus (sandbox has no network; drop enwik8.gz into "
+              "data/ for the real benchmark)")
+        rng = np.random.default_rng(0)
+        # order-1 Markov text over a small alphabet: learnable structure
+        vocab = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz .,\n", np.uint8)
+        trans = rng.dirichlet(np.full(len(vocab), 0.1), size=len(vocab))
+        size = int(8e6)
+        states = np.zeros(size, np.int64)
+        u = rng.random(size)
+        cum = np.cumsum(trans, axis=1)
+        s = 0
+        for i in range(size):
+            s = np.searchsorted(cum[s], u[i])
+            s = min(s, len(vocab) - 1)
+            states[i] = s
+        data = vocab[states]
+        train_bytes, valid_bytes = int(7e6), int(1e6)
+    return (np.asarray(data[:train_bytes]),
+            np.asarray(data[train_bytes:train_bytes + valid_bytes]))
+
+
+def sample_batch(rng: np.random.Generator, data: np.ndarray, seq_len: int,
+                 batch: int) -> np.ndarray:
+    """Random crops, seq_len+1 for shifted labels (ref train.py:75-92)."""
+    starts = rng.integers(0, len(data) - seq_len - 1, size=batch)
+    return np.stack([data[s:s + seq_len + 1] for s in starts]).astype(
+        np.int32)
+
+
+def decode_bytes(tokens) -> str:
+    return "".join(chr(max(32, int(t))) for t in tokens)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--use-float32", action="store_true",
+                    help="f32 compute (default bf16, the TPU-native AMP)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="use the plain XLA attention instead of Pallas")
+    ap.add_argument("--seq-len", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=int(1e5))
+    ap.add_argument("--batch-size", type=int, default=BATCH_SIZE)
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    dtype = jnp.float32 if args.use_float32 else jnp.bfloat16
+
+    # model config mirrors reference train.py:53-64
+    model = CosineSimCausalTransformer(
+        num_tokens=256,
+        dim=args.dim,
+        depth=args.depth,
+        max_seq_len=args.seq_len,
+        attn_scale=1.0,
+        attn_l2norm_groups=8,
+        use_fused=not args.no_fused,
+        pre_norm=True,
+        dtype=dtype,
+    )
+
+    train_data, valid_data = load_data()
+    nprng = np.random.default_rng(args.seed)
+    rng = jax.random.PRNGKey(args.seed)
+
+    init_batch = jnp.asarray(
+        sample_batch(nprng, train_data, args.seq_len, args.batch_size))
+    params = model.init(rng, init_batch, return_loss=True)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"params: {n_params/1e6:.1f}M  dtype: {dtype.__name__}  "
+          f"fused: {not args.no_fused}")
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(0.5),      # ref train.py:114
+        optax.adam(LEARNING_RATE),
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batches):
+        """One optimizer step over GRAD_ACCUM microbatches (train.py:106-110)."""
+        def micro(carry, batch):
+            loss, grads = jax.value_and_grad(
+                lambda p: model.apply(p, batch, return_loss=True))(params)
+            return carry, (loss, grads)
+
+        _, (losses, grads) = jax.lax.scan(micro, None, batches)
+        grads = jax.tree.map(lambda g: g.mean(0), grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses.mean()
+
+    @jax.jit
+    def eval_step(params, batch):
+        return model.apply(params, batch, return_loss=True)
+
+    t_start = time.time()
+    for step in range(args.steps):
+        batches = jnp.asarray(np.stack([
+            sample_batch(nprng, train_data, args.seq_len, args.batch_size)
+            for _ in range(GRAD_ACCUM)
+        ]))
+        params, opt_state, loss = train_step(params, opt_state, batches)
+
+        if step % 10 == 0:
+            loss = float(loss)
+            bpb = loss / np.log(2)
+            toks = (step + 1) * GRAD_ACCUM * args.batch_size * args.seq_len
+            rate = toks / (time.time() - t_start)
+            print(f"step {step}  loss {loss:.4f}  bpb {bpb:.4f}  "
+                  f"tok/s {rate:,.0f}", flush=True)
+
+        if step % VALIDATE_EVERY == 0 and step > 0:
+            vb = jnp.asarray(sample_batch(
+                nprng, valid_data, args.seq_len, args.batch_size))
+            vl = float(eval_step(params, vb))
+            print(f"valid loss {vl:.4f}  valid bpb {vl/np.log(2):.4f}",
+                  flush=True)
+
+        if step % GENERATE_EVERY == 0 and step > 0:
+            prime = jnp.asarray(sample_batch(
+                nprng, valid_data, args.seq_len, 1))[:, :128]
+            rng, sub = jax.random.split(rng)
+            out = generate(model, params, sub, prime, GENERATE_LENGTH)
+            print("prime:", decode_bytes(np.asarray(prime)[0][-64:]))
+            print("generated:", decode_bytes(np.asarray(out)[0][:256]),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
