@@ -55,6 +55,7 @@ class Attention(nn.Module):
     non_cosine_sim_attn: bool = False
     init_gain: float = 1.0  # DeepNet gain for to_v / to_out
     dtype: Any = jnp.float32
+    mesh: Any = None  # jax.sharding.Mesh -> head-sharded attention
 
     @nn.compact
     def __call__(self, x):
@@ -75,6 +76,12 @@ class Attention(nn.Module):
 
         if self.non_cosine_sim_attn:
             o = non_cosine_sim_attention(q, k, v)
+        elif self.mesh is not None:
+            from ..parallel import head_sharded_flash_attention
+            o = head_sharded_flash_attention(
+                q, k, v, self.mesh, causal=True, scale=self.scale,
+                groups=self.l2norm_groups,
+            )
         elif self.use_fused:
             o = flash_cosine_sim_attention(
                 q, k, v, causal=True, scale=self.scale,
@@ -133,6 +140,7 @@ class CosineSimCausalTransformer(nn.Module):
     use_fused: bool = True
     non_cosine_sim_attn: bool = False
     dtype: Any = jnp.float32
+    mesh: Any = None  # jax.sharding.Mesh -> head-sharded TP attention
 
     @property
     def residual_scale(self) -> float:
@@ -164,7 +172,7 @@ class CosineSimCausalTransformer(nn.Module):
                 scale=self.attn_scale, l2norm_groups=self.attn_l2norm_groups,
                 pre_norm=self.pre_norm, use_fused=self.use_fused,
                 non_cosine_sim_attn=self.non_cosine_sim_attn,
-                init_gain=init_gain, dtype=self.dtype,
+                init_gain=init_gain, dtype=self.dtype, mesh=self.mesh,
                 name=f"attn_{layer}",
             )(h)
             h = attn_out + h * res_scale

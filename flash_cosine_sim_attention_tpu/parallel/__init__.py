@@ -1,0 +1,14 @@
+from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh, sharding
+from .sharded_attention import head_sharded_flash_attention
+from .train import make_sharded_train_step, param_shardings, shard_params
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "sharding",
+    "head_sharded_flash_attention",
+    "make_sharded_train_step",
+    "param_shardings",
+    "shard_params",
+]

@@ -1,0 +1,74 @@
+"""Sharded training step: TP over heads/MLP-hidden + DP over batch.
+
+Parameter layout (megatron-style column/row split so each block needs one
+all-reduce, inserted automatically by GSPMD from the NamedShardings):
+
+  to_q/to_k/to_v kernels (dim, h*dh)   -> P(None, "model")   column
+  to_out kernel   (h*dh, dim)          -> P("model", None)   row
+  FF in  (dim, 4*dim)                  -> P(None, "model")   column
+  FF out (4*dim, dim)                  -> P("model", None)   row
+  embeddings / norms / logits          -> replicated
+
+The attention op itself runs per-shard (see sharded_attention.py); data
+parallelism shards the batch over the ``data`` axis, gradients all-reduce
+over it automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _spec_for_path(path) -> P:
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(n) for n in names)
+    if "kernel" in joined:
+        if any(s in joined for s in ("to_q", "to_k", "to_v")):
+            return P(None, MODEL_AXIS)
+        if "to_out" in joined:
+            return P(MODEL_AXIS, None)
+        if "ff_" in joined and "Dense_0" in joined:
+            return P(None, MODEL_AXIS)
+        if "ff_" in joined and "Dense_1" in joined:
+            return P(MODEL_AXIS, None)
+    return P()  # embeddings, norms, to_logits: replicated
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree matching ``params`` via the rules above."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: NamedSharding(mesh, _spec_for_path(path)), params
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def make_sharded_train_step(model, tx, mesh: Mesh):
+    """Jitted (params, opt_state, batch) -> (params, opt_state, loss) with
+    batch sharded over the data axis and params TP-sharded."""
+    p_shardings = None  # resolved lazily from the first call's params
+
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            return model.apply(p, batch, return_loss=True)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    return jax.jit(
+        step,
+        in_shardings=(None, None, batch_sharding),
+        donate_argnums=(0, 1),
+    )

@@ -1,0 +1,98 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh.
+
+Verifies the TP(heads) x DP(batch) layout computes the SAME numbers as the
+single-device path, and that the attention op itself shards cleanly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from flash_cosine_sim_attention_tpu import flash_cosine_sim_attention
+from flash_cosine_sim_attention_tpu.models import CosineSimCausalTransformer
+from flash_cosine_sim_attention_tpu.parallel import (
+    head_sharded_flash_attention,
+    make_mesh,
+    make_sharded_train_step,
+    param_shardings,
+    shard_params,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_head_sharded_attention_matches_local():
+    mesh = make_mesh(8, model_parallel=4)
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 4, 128, 64)), jnp.float32)
+               for _ in range(3))
+    o_sharded = head_sharded_flash_attention(q, k, v, mesh, causal=True)
+    o_local = flash_cosine_sim_attention(q, k, v, causal=True)
+    assert float(jnp.abs(o_sharded - o_local).max()) < 1e-6
+
+
+def test_head_sharded_single_head_kv():
+    mesh = make_mesh(8, model_parallel=4)
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((2, 4, 128, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 128, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 128, 64)), jnp.float32)
+    o_sharded = head_sharded_flash_attention(q, k, v, mesh, causal=True)
+    o_local = flash_cosine_sim_attention(q, k, v, causal=True)
+    assert float(jnp.abs(o_sharded - o_local).max()) < 1e-6
+
+
+def test_sharded_train_step_matches_single_device():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(rng, (4, 65), 0, 256)
+
+    def build(mesh):
+        return CosineSimCausalTransformer(
+            num_tokens=256, dim=128, depth=2, max_seq_len=64, heads=8,
+            dim_head=16, pre_norm=True, mesh=mesh)
+
+    tx = optax.adam(1e-3)
+
+    # single device
+    m0 = build(None)
+    p0 = m0.init(rng, x, return_loss=True)
+    s0 = tx.init(p0)
+    loss0, grads0 = jax.value_and_grad(
+        lambda p: m0.apply(p, x, return_loss=True))(p0)
+
+    # sharded
+    mesh = make_mesh(8, model_parallel=4)
+    m1 = build(mesh)
+    p1 = shard_params(m1.init(rng, x, return_loss=True), mesh)
+    s1 = tx.init(p1)
+    step = make_sharded_train_step(m1, tx, mesh)
+    p1b, s1b, loss1 = step(p1, s1, x)
+
+    assert abs(float(loss0) - float(loss1)) < 1e-5
+
+    # and the sharded params actually moved (one adam step)
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         shard_params(p0, mesh), p1b)
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_param_sharding_rules():
+    mesh = make_mesh(8, model_parallel=4)
+    m = CosineSimCausalTransformer(
+        num_tokens=256, dim=128, depth=1, max_seq_len=64, heads=8,
+        dim_head=16, pre_norm=True)
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    sh = param_shardings(p, mesh)
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): s
+            for path, s in jax.tree_util.tree_flatten_with_path(sh)[0]}
+    qkv = [v for k, v in flat.items() if "to_q" in k and "kernel" in k]
+    out = [v for k, v in flat.items() if "to_out" in k and "kernel" in k]
+    emb = [v for k, v in flat.items() if "token_emb" in k]
+    assert all(s.spec == jax.sharding.PartitionSpec(None, "model")
+               for s in qkv)
+    assert all(s.spec == jax.sharding.PartitionSpec("model", None)
+               for s in out)
+    assert all(s.spec == jax.sharding.PartitionSpec() for s in emb)
