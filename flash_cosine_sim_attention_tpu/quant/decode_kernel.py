@@ -1,0 +1,183 @@
+"""Pallas decode kernel: cosine-sim attention over an INT8 KV cache.
+
+Single-token (q_len=1) autoregressive attention, the serving hot path.
+Decode is HBM-bandwidth-bound — the entire KV cache streams through VMEM
+per token — so the int8 cache halves traffic vs bf16 (4x vs f32), and the
+dequant is fused into the attention tile:
+
+  * K dequant is a constant multiply (fixed scale 127, K normalized), which
+    folds into the already-fused ``exp(scale*s - scale)`` epilogue: we feed
+    the MXU the raw int8-as-bf16 K and fold 1/127 into the logit scale.
+  * V's per-token scale is folded into the exp weights BEFORE the PV
+    matmul (e_j * vscale_j), so V's int8 values go straight to the MXU.
+
+No running row-max, as everywhere in this framework: logits are bounded.
+
+Grid: (batch, kv_heads, kv_blocks); each (b, kv-head) accumulates its
+query-head group's output in VMEM scratch across the cache blocks.  The
+current cache length arrives in SMEM; blocks past it are skipped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.blocks import EPS
+from ..ops.reference import l2norm_tensors
+from .kv_cache import K_SCALE, QuantKVCache, dequantize_k, dequantize_v
+
+
+def _decode_kernel(
+    len_ref,    # SMEM (1, 1) int32: current cache length
+    q_ref,      # (1, 1, g, d) bf16/f32 — l2-normalized query group
+    k8_ref,     # (1, 1, block_k, d) int8
+    v8_ref,     # (1, 1, block_k, d) int8
+    vs_ref,     # (1, 1, 1, block_k) f32 — per-token V scale, transposed
+    o_ref,      # (1, 1, g, d) f32
+    acc_ref,    # scratch (g, d) f32
+    lsum_ref,   # scratch (g, 1) f32
+    *,
+    scale: float,
+    block_k: int,
+    group: int,
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    length = len_ref[0, 0]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        lsum_ref[...] = jnp.zeros_like(lsum_ref)
+
+    @pl.when(ki * block_k < length)
+    def _compute():
+        q = q_ref[0, 0]                       # (g, d)
+        k_i8 = k8_ref[0, 0]                   # (block_k, d) int8
+        v_i8 = v8_ref[0, 0]                   # (block_k, d) int8
+
+        # int8 K -> bf16 for the MXU; the 1/127 dequant folds into the
+        # logit scale below (one fused constant, no extra pass over K)
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), k_i8.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (g, block_k), units of 127*cos
+
+        eff_scale = scale / K_SCALE
+        e = jnp.exp(s * eff_scale - scale)
+
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (group, block_k), 1)
+        e = jnp.where(col < length, e, 0.0)
+
+        lsum_ref[...] += jnp.sum(e, axis=-1, keepdims=True)
+        # fold V's per-token scale into the exp weights, then int8 V
+        # (as bf16) hits the MXU directly
+        e_scaled = (e * vs_ref[0, 0]).astype(jnp.bfloat16)
+        acc_ref[...] += jax.lax.dot_general(
+            e_scaled, v_i8.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        inv_l = 1.0 / jnp.maximum(lsum_ref[...], EPS)
+        o_ref[0, 0] = acc_ref[...] * inv_l
+
+
+def quantized_decode_attention(
+    q: jax.Array,              # (b, h, d) or (b, h, 1, d), one new token
+    cache: QuantKVCache,
+    scale: float = 8.0,
+    groups: int = 1,
+    l2norm_qk: bool = True,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Attention of one new query token against the quantized cache."""
+    squeeze = q.ndim == 4
+    if squeeze:
+        assert q.shape[2] == 1
+        q = q[:, :, 0]
+    if l2norm_qk:
+        q = l2norm_tensors(q, groups=groups)
+
+    b, h, d = q.shape
+    kvh = cache.k8.shape[1]
+    cap = cache.capacity
+    assert h % kvh == 0
+    g = h // kvh
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    block_k = min(block_k, cap)
+    assert cap % block_k == 0, (cap, block_k)
+    nk = cap // block_k
+
+    qg = q.reshape(b, kvh, g, d)
+    vs_t = cache.v_scale.swapaxes(-1, -2)  # (b, kvh, 1, cap)
+    length = jnp.asarray(cache.length, jnp.int32).reshape(1, 1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel, scale=float(scale), block_k=block_k, group=g),
+        grid=(b, kvh, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, 1, block_k),
+                         lambda bi, hi, ki: (bi, hi, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((g, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(length, qg, cache.k8, cache.v8, vs_t)
+
+    out = out.reshape(b, h, d).astype(q.dtype)
+    return out[:, :, None, :] if squeeze else out
+
+
+def reference_decode_attention(
+    q: jax.Array, cache: QuantKVCache, scale: float = 8.0,
+    groups: int = 1, l2norm_qk: bool = True,
+) -> jax.Array:
+    """Dequantize-everything oracle for the decode kernel."""
+    squeeze = q.ndim == 4
+    if squeeze:
+        q = q[:, :, 0]
+    if l2norm_qk:
+        q = l2norm_tensors(q, groups=groups)
+    b, h, d = q.shape
+    kvh = cache.k8.shape[1]
+    k = dequantize_k(cache.k8)                       # (b, kvh, cap, d)
+    v = dequantize_v(cache.v8, cache.v_scale)
+    qg = q.reshape(b, kvh, h // kvh, d).astype(jnp.float32)
+    s = jnp.einsum("bgqd,bgjd->bgqj", qg, k,
+                   precision=jax.lax.Precision.HIGHEST) * scale
+    e = jnp.exp(s - scale)
+    keep = jnp.arange(cache.capacity)[None, None, None, :] < cache.length
+    e = jnp.where(keep, e, 0.0)
+    o = jnp.einsum("bgqj,bgjd->bgqd", e, v,
+                   precision=jax.lax.Precision.HIGHEST)
+    o = o / jnp.maximum(e.sum(-1, keepdims=True), 1e-10)
+    o = o.reshape(b, h, d).astype(q.dtype)
+    return o[:, :, None, :] if squeeze else o

@@ -1,0 +1,116 @@
+"""INT8 KV-cache + decode kernel tests.
+
+Stated accuracy deltas (BASELINE.md "within stated delta"):
+  * decode kernel vs dequant-everything oracle: < 5e-3 (same math, kernel
+    quantization error only from bf16 matmuls)
+  * decode over int8 cache vs full-f32 attention: < 3e-2 absolute on
+    unit-scale values (int8 K at fixed scale 127 + per-token-scaled int8 V)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_cosine_sim_attention_tpu import (
+    flash_cosine_sim_attention,
+    l2norm_tensors,
+)
+from flash_cosine_sim_attention_tpu.quant import (
+    K_SCALE,
+    append,
+    dequantize_k,
+    dequantize_v,
+    init_cache,
+    quantize_k,
+    quantize_v,
+    quantized_decode_attention,
+    reference_decode_attention,
+)
+
+DELTA_KERNEL_VS_ORACLE = 5e-3
+DELTA_QUANT_VS_F32 = 3e-2
+
+
+def test_k_quantization_roundtrip():
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((2, 4, 64, 64)), jnp.float32)
+    kn = l2norm_tensors(k)
+    k8 = quantize_k(kn)
+    err = float(jnp.abs(dequantize_k(k8) - kn).max())
+    assert err <= 0.5 / K_SCALE + 1e-6  # half-ulp rounding bound
+
+
+def test_v_quantization_roundtrip():
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal((2, 4, 64, 64)) * 7.3, jnp.float32)
+    v8, vs = quantize_v(v)
+    err = jnp.abs(dequantize_v(v8, vs) - v)
+    # error bounded by half a quantization step per row
+    assert bool((err <= vs * 0.5 + 1e-6).all())
+
+
+def _fill_cache(rng, b, kvh, cap, d, n_tokens, groups=1):
+    cache = init_cache(b, kvh, cap, d)
+    k = jnp.asarray(rng.standard_normal((b, kvh, n_tokens, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kvh, n_tokens, d)), jnp.float32)
+    kn = l2norm_tensors(k, groups=groups)
+    cache = append(cache, kn, v)
+    return cache, k, v
+
+
+@pytest.mark.parametrize("kvh,h", [(4, 4), (1, 8)])
+@pytest.mark.parametrize("n_tokens", [63, 256])
+def test_decode_kernel_vs_oracle(kvh, h, n_tokens):
+    rng = np.random.default_rng(2)
+    b, d, cap = 2, 64, 256
+    cache, _, _ = _fill_cache(rng, b, kvh, cap, d, n_tokens)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    out = quantized_decode_attention(q, cache, block_k=128)
+    ref = reference_decode_attention(q, cache)
+    assert float(jnp.abs(out - ref).max()) < DELTA_KERNEL_VS_ORACLE
+
+
+def test_decode_matches_full_precision_attention():
+    """int8-cache decode vs full-f32 fused attention on the same history."""
+    rng = np.random.default_rng(3)
+    b, h, d, n, cap = 2, 4, 64, 192, 256
+    cache, k, v = _fill_cache(rng, b, h, cap, d, n)
+    q = jnp.asarray(rng.standard_normal((b, h, 1, d)), jnp.float32)
+
+    out_q = quantized_decode_attention(q, cache, block_k=128)
+    # f32 path: same query against the unquantized history
+    out_f = flash_cosine_sim_attention(
+        q, k, v, mask=jnp.ones((b, n), bool))
+    assert out_q.shape == out_f.shape
+    assert float(jnp.abs(out_q - out_f).max()) < DELTA_QUANT_VS_F32
+
+
+def test_append_is_incremental():
+    rng = np.random.default_rng(4)
+    b, kvh, d, cap = 1, 2, 32, 128
+    cache = init_cache(b, kvh, cap, d)
+    ks = jnp.asarray(rng.standard_normal((b, kvh, 10, d)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((b, kvh, 10, d)), jnp.float32)
+    kn = l2norm_tensors(ks)
+    # chunk append == token-by-token append
+    c_all = append(cache, kn, vs)
+    c_steps = cache
+    for t in range(10):
+        c_steps = append(c_steps, kn[:, :, t:t + 1], vs[:, :, t:t + 1])
+    assert int(c_all.length) == int(c_steps.length) == 10
+    assert bool((c_all.k8 == c_steps.k8).all())
+    assert bool((c_all.v8 == c_steps.v8).all())
+    assert bool(jnp.allclose(c_all.v_scale, c_steps.v_scale))
+
+
+def test_grouped_l2norm_cache():
+    # grouped norms keep components in [-1, 1]; kernel must stay accurate
+    rng = np.random.default_rng(5)
+    b, h, d, n, cap = 2, 4, 64, 100, 128
+    cache, _, _ = _fill_cache(rng, b, h, cap, d, n, groups=8)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    out = quantized_decode_attention(q, cache, groups=8, scale=1.0,
+                                     block_k=128)
+    ref = reference_decode_attention(q, cache, groups=8, scale=1.0)
+    assert float(jnp.abs(out - ref).max()) < DELTA_KERNEL_VS_ORACLE
