@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from flash_cosine_sim_attention_tpu.data import TextSampler
 from flash_cosine_sim_attention_tpu.models import (
     CosineSimCausalTransformer,
     generate,
@@ -40,41 +41,36 @@ GENERATE_EVERY = 500
 GENERATE_LENGTH = 512
 
 
-def load_data(path="data/enwik8.gz", train_bytes=int(90e6),
-              valid_bytes=int(5e6)):
-    """enwik8 90M/5M split (ref train.py:70-73), synthetic fallback."""
-    if os.path.exists(path):
-        with gzip.open(path) as f:
-            data = np.frombuffer(f.read(int(95e6)), dtype=np.uint8)
-    else:
-        print("data/enwik8.gz not found - using deterministic synthetic "
-              "byte corpus (sandbox has no network; drop enwik8.gz into "
-              "data/ for the real benchmark)")
-        rng = np.random.default_rng(0)
-        # order-1 Markov text over a small alphabet: learnable structure
-        vocab = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz .,\n", np.uint8)
-        trans = rng.dirichlet(np.full(len(vocab), 0.1), size=len(vocab))
-        size = int(8e6)
-        states = np.zeros(size, np.int64)
-        u = rng.random(size)
-        cum = np.cumsum(trans, axis=1)
-        s = 0
-        for i in range(size):
-            s = np.searchsorted(cum[s], u[i])
-            s = min(s, len(vocab) - 1)
-            states[i] = s
-        data = vocab[states]
-        train_bytes, valid_bytes = int(7e6), int(1e6)
-    return (np.asarray(data[:train_bytes]),
-            np.asarray(data[train_bytes:train_bytes + valid_bytes]))
-
-
-def sample_batch(rng: np.random.Generator, data: np.ndarray, seq_len: int,
-                 batch: int) -> np.ndarray:
-    """Random crops, seq_len+1 for shifted labels (ref train.py:75-92)."""
-    starts = rng.integers(0, len(data) - seq_len - 1, size=batch)
-    return np.stack([data[s:s + seq_len + 1] for s in starts]).astype(
-        np.int32)
+def make_sampler(path="data/enwik8.gz", seed=0) -> TextSampler:
+    """enwik8 90M/5M split (ref train.py:70-73) through the native C++
+    loader; deterministic synthetic corpus fallback (zero-egress sandbox)."""
+    if not os.path.exists(path):
+        synth = "data/synthetic.raw"
+        if not os.path.exists(synth):
+            print("data/enwik8.gz not found - generating deterministic "
+                  "synthetic byte corpus (drop enwik8.gz into data/ for the "
+                  "real benchmark)")
+            rng = np.random.default_rng(0)
+            # order-1 Markov text over a small alphabet: learnable structure
+            vocab = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz .,\n",
+                                  np.uint8)
+            trans = rng.dirichlet(np.full(len(vocab), 0.1), size=len(vocab))
+            size = int(8e6)
+            cum = np.cumsum(trans, axis=1)
+            u = rng.random(size)
+            states = np.zeros(size, np.int64)
+            st = 0
+            for i in range(size):
+                st = min(int(np.searchsorted(cum[st], u[i])), len(vocab) - 1)
+                states[i] = st
+            os.makedirs("data", exist_ok=True)
+            with open(synth, "wb") as f:
+                f.write(vocab[states].tobytes())
+        path = synth
+    sampler = TextSampler(path, train_frac=90 / 95, seed=seed)
+    print(f"data: {path}  loader backend: {sampler.backend}  "
+          f"bytes: {sampler._c.size:,}")
+    return sampler
 
 
 def decode_bytes(tokens) -> str:
@@ -110,12 +106,11 @@ def main():
         dtype=dtype,
     )
 
-    train_data, valid_data = load_data()
-    nprng = np.random.default_rng(args.seed)
+    sampler = make_sampler(seed=args.seed)
     rng = jax.random.PRNGKey(args.seed)
 
     init_batch = jnp.asarray(
-        sample_batch(nprng, train_data, args.seq_len, args.batch_size))
+        sampler.sample("train", args.batch_size, args.seq_len))
     params = model.init(rng, init_batch, return_loss=True)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"params: {n_params/1e6:.1f}M  dtype: {dtype.__name__}  "
@@ -146,11 +141,11 @@ def main():
         return model.apply(params, batch, return_loss=True)
 
     t_start = time.time()
+    train_stream = sampler.stream(
+        "train", GRAD_ACCUM * args.batch_size, args.seq_len)
     for step in range(args.steps):
-        batches = jnp.asarray(np.stack([
-            sample_batch(nprng, train_data, args.seq_len, args.batch_size)
-            for _ in range(GRAD_ACCUM)
-        ]))
+        batches = jnp.asarray(next(train_stream)).reshape(
+            GRAD_ACCUM, args.batch_size, args.seq_len + 1)
         params, opt_state, loss = train_step(params, opt_state, batches)
 
         if step % 10 == 0:
@@ -162,15 +157,15 @@ def main():
                   f"tok/s {rate:,.0f}", flush=True)
 
         if step % VALIDATE_EVERY == 0 and step > 0:
-            vb = jnp.asarray(sample_batch(
-                nprng, valid_data, args.seq_len, args.batch_size))
+            vb = jnp.asarray(
+                sampler.sample("valid", args.batch_size, args.seq_len))
             vl = float(eval_step(params, vb))
             print(f"valid loss {vl:.4f}  valid bpb {vl/np.log(2):.4f}",
                   flush=True)
 
         if step % GENERATE_EVERY == 0 and step > 0:
-            prime = jnp.asarray(sample_batch(
-                nprng, valid_data, args.seq_len, 1))[:, :128]
+            prime = jnp.asarray(
+                sampler.sample("valid", 1, args.seq_len))[:, :128]
             rng, sub = jax.random.split(rng)
             out = generate(model, params, sub, prime, GENERATE_LENGTH)
             print("prime:", decode_bytes(np.asarray(prime)[0][-64:]))
