@@ -34,7 +34,7 @@ from .kv_cache import K_SCALE, QuantKVCache, dequantize_k, dequantize_v
 
 
 def _decode_kernel(
-    len_ref,    # SMEM (1, 1) int32: current cache length
+    len_ref,    # SMEM (1, 1) int32: this slot's cache length
     q_ref,      # (1, 1, g, d) bf16/f32 — l2-normalized query group
     k8_ref,     # (1, 1, block_k, d) int8
     v8_ref,     # (1, 1, block_k, d) int8
@@ -124,14 +124,15 @@ def quantized_decode_attention(
 
     qg = q.reshape(b, kvh, g, d)
     vs_t = cache.v_scale.swapaxes(-1, -2)  # (b, kvh, 1, cap)
-    length = jnp.asarray(cache.length, jnp.int32).reshape(1, 1)
+    length = jnp.asarray(cache.length, jnp.int32).reshape(b, 1)
 
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel, scale=float(scale), block_k=block_k, group=g),
         grid=(b, kvh, nk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda bi, hi, ki: (bi, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, g, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, block_k, d),
                          lambda bi, hi, ki: (bi, hi, ki, 0)),
@@ -174,7 +175,8 @@ def reference_decode_attention(
     s = jnp.einsum("bgqd,bgjd->bgqj", qg, k,
                    precision=jax.lax.Precision.HIGHEST) * scale
     e = jnp.exp(s - scale)
-    keep = jnp.arange(cache.capacity)[None, None, None, :] < cache.length
+    keep = (jnp.arange(cache.capacity)[None, None, None, :]
+            < cache.length[:, None, None, None])
     e = jnp.where(keep, e, 0.0)
     o = jnp.einsum("bgqj,bgjd->bgqd", e, v,
                    precision=jax.lax.Precision.HIGHEST)

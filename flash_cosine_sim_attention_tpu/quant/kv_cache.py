@@ -29,7 +29,8 @@ class QuantKVCache(NamedTuple):
     k8: jax.Array        # (b, kvh, cap, d) int8, l2-normalized K * 127
     v8: jax.Array        # (b, kvh, cap, d) int8
     v_scale: jax.Array   # (b, kvh, cap, 1) f32 per-token V scale
-    length: jax.Array    # () int32 — tokens currently valid
+    length: jax.Array    # (b,) int32 — valid tokens PER SLOT (continuous
+                         # batching: slots advance independently)
 
     @property
     def capacity(self) -> int:
@@ -42,7 +43,7 @@ def init_cache(batch: int, kv_heads: int, capacity: int, dim_head: int
         k8=jnp.zeros((batch, kv_heads, capacity, dim_head), jnp.int8),
         v8=jnp.zeros((batch, kv_heads, capacity, dim_head), jnp.int8),
         v_scale=jnp.zeros((batch, kv_heads, capacity, 1), jnp.float32),
-        length=jnp.zeros((), jnp.int32),
+        length=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -74,18 +75,19 @@ def dequantize_v(v8: jax.Array, v_scale: jax.Array,
 
 def append(cache: QuantKVCache, k_norm: jax.Array, v: jax.Array
            ) -> QuantKVCache:
-    """Append a (b, kvh, t, d) chunk of NEW tokens (t=1 for decode).
+    """Append a (b, kvh, t, d) chunk of NEW tokens (t=1 for decode) at each
+    slot's own write offset.
 
     ``k_norm`` must already be l2-normalized (grouped norms included —
     quantization only assumes components in [-1, 1], true for any group
     size).
     """
     t = k_norm.shape[2]
-    k8 = jax.lax.dynamic_update_slice(
-        cache.k8, quantize_k(k_norm), (0, 0, cache.length, 0))
+    upd = jax.vmap(
+        lambda buf, new, off: jax.lax.dynamic_update_slice(
+            buf, new, (0, off, 0)))
+    k8 = upd(cache.k8, quantize_k(k_norm), cache.length)
     v8_new, vs_new = quantize_v(v)
-    v8 = jax.lax.dynamic_update_slice(
-        cache.v8, v8_new, (0, 0, cache.length, 0))
-    v_scale = jax.lax.dynamic_update_slice(
-        cache.v_scale, vs_new, (0, 0, cache.length, 0))
+    v8 = upd(cache.v8, v8_new, cache.length)
+    v_scale = upd(cache.v_scale, vs_new, cache.length)
     return QuantKVCache(k8, v8, v_scale, cache.length + t)

@@ -98,7 +98,7 @@ def test_append_is_incremental():
     c_steps = cache
     for t in range(10):
         c_steps = append(c_steps, kn[:, :, t:t + 1], vs[:, :, t:t + 1])
-    assert int(c_all.length) == int(c_steps.length) == 10
+    assert int(c_all.length[0]) == int(c_steps.length[0]) == 10
     assert bool((c_all.k8 == c_steps.k8).all())
     assert bool((c_all.v8 == c_steps.v8).all())
     assert bool(jnp.allclose(c_all.v_scale, c_steps.v_scale))
