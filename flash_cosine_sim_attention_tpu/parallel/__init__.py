@@ -1,4 +1,5 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh, sharding
+from .ring_attention import ring_flash_cosine_sim_attention
 from .sharded_attention import head_sharded_flash_attention
 from .train import make_sharded_train_step, param_shardings, shard_params
 
@@ -8,6 +9,7 @@ __all__ = [
     "make_mesh",
     "sharding",
     "head_sharded_flash_attention",
+    "ring_flash_cosine_sim_attention",
     "make_sharded_train_step",
     "param_shardings",
     "shard_params",

@@ -96,3 +96,35 @@ def test_param_sharding_rules():
     assert all(s.spec == jax.sharding.PartitionSpec("model", None)
                for s in out)
     assert all(s.spec == jax.sharding.PartitionSpec() for s in emb)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_attention_matches_local(causal):
+    from jax.sharding import Mesh
+    from flash_cosine_sim_attention_tpu.parallel.ring_attention import (
+        ring_flash_cosine_sim_attention,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("seq",))
+    rng = np.random.default_rng(7)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 4, 512, 64)), jnp.float32)
+               for _ in range(3))
+    o_ring = ring_flash_cosine_sim_attention(q, k, v, mesh, causal=causal)
+    o_local = flash_cosine_sim_attention(q, k, v, causal=causal)
+    assert float(jnp.abs(o_ring - o_local).max()) < 2e-5
+
+
+def test_ring_attention_grouped_bf16():
+    from jax.sharding import Mesh
+    from flash_cosine_sim_attention_tpu.parallel.ring_attention import (
+        ring_flash_cosine_sim_attention,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    rng = np.random.default_rng(8)
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 2, 256, 64)),
+                           jnp.bfloat16) for _ in range(3))
+    o_ring = ring_flash_cosine_sim_attention(
+        q, k, v, mesh, causal=True, groups=8, scale=1.0)
+    o_local = flash_cosine_sim_attention(
+        q, k, v, causal=True, groups=8, scale=1.0)
+    diff = jnp.abs(o_ring.astype(jnp.float32) - o_local.astype(jnp.float32))
+    assert float(diff.max()) < 1.5e-1
