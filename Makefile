@@ -1,0 +1,39 @@
+# mirrors the reference Makefile targets (install / test / benchmark* / train)
+
+install:
+	pip install -e .
+
+test:
+	python -m pytest tests/ -x -q
+
+native:
+	mkdir -p native/build
+	g++ -O2 -shared -fPIC native/dataloader.cc -o native/build/libfcsa_data.so -lz
+
+benchmark:
+	python benchmark.py
+
+benchmark_causal:
+	python benchmark.py --causal
+
+benchmark_forwards:
+	python benchmark.py --only-forwards
+
+benchmark_backwards:
+	python benchmark.py --only-backwards
+
+benchmark_masked:
+	python benchmark.py --mask-prob 0.25
+
+bench:
+	python bench.py
+
+train:
+	python train.py
+
+clean:
+	rm -rf native/build dist build *.egg-info
+	find . -name __pycache__ -type d -exec rm -rf {} +
+
+.PHONY: install test native benchmark benchmark_causal benchmark_forwards \
+        benchmark_backwards benchmark_masked bench train clean

@@ -1,3 +1,12 @@
-from .benchmark import benchmark
+from .benchmark import benchmark, xla_naive_cosine_sim_attention
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .profiling import StepTimer, trace
 
-__all__ = ["benchmark"]
+__all__ = [
+    "benchmark",
+    "xla_naive_cosine_sim_attention",
+    "restore_checkpoint",
+    "save_checkpoint",
+    "StepTimer",
+    "trace",
+]

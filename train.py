@@ -31,6 +31,10 @@ from flash_cosine_sim_attention_tpu.models import (
     CosineSimCausalTransformer,
     generate,
 )
+from flash_cosine_sim_attention_tpu.utils import (
+    restore_checkpoint,
+    save_checkpoint,
+)
 
 # constants mirroring reference train.py:25-31
 BATCH_SIZE = 4
@@ -89,6 +93,9 @@ def main():
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--checkpoint-dir", type=str, default="",
+                    help="save/resume checkpoints here (orbax)")
+    ap.add_argument("--checkpoint-every", type=int, default=1000)
     args = ap.parse_args()
 
     dtype = jnp.float32 if args.use_float32 else jnp.bfloat16
@@ -122,6 +129,14 @@ def main():
     )
     opt_state = tx.init(params)
 
+    start_step = 0
+    if args.checkpoint_dir:
+        ck_step, params, opt_state = restore_checkpoint(
+            args.checkpoint_dir, params, opt_state)
+        if ck_step is not None:
+            start_step = ck_step + 1
+            print(f"resumed from step {ck_step}")
+
     @jax.jit
     def train_step(params, opt_state, batches):
         """One optimizer step over GRAD_ACCUM microbatches (train.py:106-110)."""
@@ -143,7 +158,7 @@ def main():
     t_start = time.time()
     train_stream = sampler.stream(
         "train", GRAD_ACCUM * args.batch_size, args.seq_len)
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         batches = jnp.asarray(next(train_stream)).reshape(
             GRAD_ACCUM, args.batch_size, args.seq_len + 1)
         params, opt_state, loss = train_step(params, opt_state, batches)
@@ -162,6 +177,11 @@ def main():
             vl = float(eval_step(params, vb))
             print(f"valid loss {vl:.4f}  valid bpb {vl/np.log(2):.4f}",
                   flush=True)
+
+        if (args.checkpoint_dir and step > 0
+                and step % args.checkpoint_every == 0):
+            save_checkpoint(args.checkpoint_dir, step, params, opt_state)
+            print(f"checkpoint saved at step {step}", flush=True)
 
         if step % GENERATE_EVERY == 0 and step > 0:
             prime = jnp.asarray(
