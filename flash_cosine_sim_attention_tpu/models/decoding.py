@@ -16,7 +16,7 @@ whole decode loop jits and scans.
 
 from __future__ import annotations
 
-from typing import Any, List, NamedTuple, Tuple
+from typing import Any, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,9 +48,10 @@ def _layernorm(p, x, eps=1e-6):
 
 
 def init_decode_state(model: CosineSimCausalTransformer, batch: int,
-                      capacity: int) -> DecodeState:
+                      capacity: int, kv_dtype=jnp.int8) -> DecodeState:
     caches = tuple(
-        init_cache(batch, model.heads, capacity, model.dim_head)
+        init_cache(batch, model.heads, capacity, model.dim_head,
+                   kv_dtype=kv_dtype)
         for _ in range(model.depth))
     return DecodeState(caches, jnp.zeros((batch,), jnp.int32))
 

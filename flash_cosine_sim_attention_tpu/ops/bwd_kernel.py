@@ -67,17 +67,21 @@ def _recompute_p_and_ds(
     ``0 * NaN`` poison p/ds.  Masking the final products guarantees masked
     entries are exactly 0 regardless of the garbage upstream.
     """
-    logits = s * scale - scale
+    # exp2 with log2(e) pre-folded into the compile-time scale (see
+    # fwd_kernel.py): saves a VPU multiply per element vs jnp.exp
+    log2e = 1.4426950408889634
+    logits2 = s * (scale * log2e) - (scale * log2e)
     if bias is not None:
-        logits = logits + bias
-    e = jnp.exp(logits)
+        logits2 = logits2 + bias * log2e
+    e = jnp.exp2(logits2)
     p = e * inv_l
     # raw dS (the bias gradient): scale enters only on the q.k path, so
     # dQ/dK use ds*scale while dB uses ds as-is (the reference accumulates
     # db BEFORE the ds *= scale step, cu:1574-1582)
     ds = p * (dp - delta)
-    p = jnp.where(keep, p, 0.0)
-    ds = jnp.where(keep, ds, 0.0)
+    if keep is not True:  # interior fast path passes literal True: no mask
+        p = jnp.where(keep, p, 0.0)
+        ds = jnp.where(keep, ds, 0.0)
     return p, ds
 
 
@@ -112,8 +116,7 @@ def _dq_kernel(
     run = (qi * block_q + block_q - 1 + seq_len_diff >= ki * block_k) \
         if causal else True
 
-    @pl.when(run)
-    def _compute():
+    def _tile(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -121,7 +124,7 @@ def _dq_kernel(
 
         # zero K's OOB rows: ds columns there are masked to 0, but
         # 0 * garbage = NaN in the dS @ K matmul otherwise
-        if seq_k % block_k != 0:
+        if masked and seq_k % block_k != 0:
             k_rows = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_k, 1), 0
             )
@@ -136,17 +139,20 @@ def _dq_kernel(
             precision=precision,
         )  # (bq, bk)
 
-        row_g = qi * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        col_g = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        keep = (row_g < seq_q) & (col_g < seq_k)
-        if causal:
-            keep &= col_g <= (row_g + seq_len_diff)
-        if has_mask:
-            keep &= mask_ref[0] > 0
+        if masked:
+            row_g = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            col_g = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            keep = (row_g < seq_q) & (col_g < seq_k)
+            if causal:
+                keep &= col_g <= (row_g + seq_len_diff)
+            if has_mask:
+                keep &= mask_ref[0] > 0
+        else:
+            keep = True
 
         inv_l = invl_ref[0, 0]   # (block_q, 1)
         delta = delta_ref[0, 0]  # (block_q, 1)
@@ -156,14 +162,39 @@ def _dq_kernel(
             s=s, inv_l=inv_l, delta=delta, dp=dp, bias=bias, keep=keep,
             scale=scale,
         )
+        # the dS *= scale step (cu:1580-1582) is folded into _finalize:
+        # multiplying the (bq, d) accumulator once is 1/(bk/d) the VPU work
+        # of scaling every (bq, bk) tile
         dq_acc[...] += jax.lax.dot_general(
-            (ds * scale).astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
 
+    # interior fast path (see fwd_kernel.py): no epilogue on tiles that are
+    # fully in bounds and fully below the causal diagonal
+    interior = ((qi + 1) * block_q <= seq_q) & ((ki + 1) * block_k <= seq_k)
+    if causal:
+        interior &= (ki + 1) * block_k - 1 <= qi * block_q + seq_len_diff
+    if has_mask:
+        interior = False
+
+    if has_mask or (seq_q % block_q == 0 and seq_k % block_k == 0
+                    and not causal):
+        @pl.when(run)
+        def _compute():
+            _tile(masked=bool(has_mask))
+    else:
+        @pl.when(run & interior)
+        def _fast():
+            _tile(masked=False)
+
+        @pl.when(run & jnp.logical_not(interior))
+        def _slow():
+            _tile(masked=True)
+
     @pl.when(ki == nk - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_acc[...].astype(out_dtype)
+        dq_ref[0, 0] = (dq_acc[...] * scale).astype(out_dtype)
 
 
 def _dkdv_kernel(
@@ -204,8 +235,7 @@ def _dkdv_kernel(
     run = (qi * block_q + block_q - 1 + seq_len_diff >= ki * block_k) \
         if causal else True
 
-    @pl.when(run)
-    def _compute():
+    def _tile(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -213,7 +243,7 @@ def _dkdv_kernel(
 
         # zero Q/dO OOB rows: p_t/ds_t columns there are masked to 0, but
         # 0 * garbage = NaN in the P^T @ dO and dS^T @ Q matmuls otherwise
-        if seq_q % block_q != 0:
+        if masked and seq_q % block_q != 0:
             q_rows = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, 1), 0
             )
@@ -232,17 +262,20 @@ def _dkdv_kernel(
             precision=precision,
         )  # (bk, bq)
 
-        krow_g = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_k, block_q), 0
-        )
-        qcol_g = qi * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_k, block_q), 1
-        )
-        keep = (krow_g < seq_k) & (qcol_g < seq_q)
-        if causal:
-            keep &= krow_g <= (qcol_g + seq_len_diff)
-        if has_mask:
-            keep &= mask_ref[0, 0] > 0  # (block_k, 1) broadcasts over Q cols
+        if masked:
+            krow_g = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, block_q), 0
+            )
+            qcol_g = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, block_q), 1
+            )
+            keep = (krow_g < seq_k) & (qcol_g < seq_q)
+            if causal:
+                keep &= krow_g <= (qcol_g + seq_len_diff)
+            if has_mask:
+                keep &= mask_ref[0, 0] > 0  # (block_k, 1) broadcasts over Q
+        else:
+            keep = True
 
         inv_l = invl_ref[0, 0]   # (1, bq), broadcasts over K rows
         delta = delta_ref[0, 0]  # (1, bq)
@@ -258,14 +291,37 @@ def _dkdv_kernel(
             p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
+        # dS *= scale folded into _finalize (see dq kernel)
         dk_acc[...] += jax.lax.dot_general(
-            (ds_t * scale).astype(q.dtype), q, (((1,), (0,)), ((), ())),
+            ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
 
+    # interior fast path, transposed: tile fully in bounds and every K row
+    # of the tile visible to every Q column -> last K row <= first Q col
+    interior = ((qi + 1) * block_q <= seq_q) & ((ki + 1) * block_k <= seq_k)
+    if causal:
+        interior &= (ki + 1) * block_k - 1 <= qi * block_q + seq_len_diff
+    if has_mask:
+        interior = False
+
+    if has_mask or (seq_q % block_q == 0 and seq_k % block_k == 0
+                    and not causal):
+        @pl.when(run)
+        def _compute():
+            _tile(masked=bool(has_mask))
+    else:
+        @pl.when(run & interior)
+        def _fast():
+            _tile(masked=False)
+
+        @pl.when(run & jnp.logical_not(interior))
+        def _slow():
+            _tile(masked=True)
+
     @pl.when(is_last)
     def _finalize():
-        dk_ref[0, 0] = dk_acc[...].astype(out_dtype)
+        dk_ref[0, 0] = (dk_acc[...] * scale).astype(out_dtype)
         dv_ref[0, 0] = dv_acc[...].astype(out_dtype)
 
 
@@ -391,13 +447,36 @@ def flash_attention_backward(
 
     kv_head = (lambda hi: hi) if kvh > 1 else (lambda hi: 0)
 
+    # Causal DMA elision (see fwd_kernel.py): clamp block indices at the
+    # causal boundary so compute-skipped tiles re-use the previously
+    # fetched block instead of paying a fresh HBM DMA.
+    seq_len_diff = seq_k - seq_q
+    if causal:
+        def clamp_k(qi, ki):
+            last_k = jnp.clip(
+                (qi * block_q + block_q - 1 + seq_len_diff) // block_k,
+                0, nk - 1,
+            )
+            return jnp.minimum(ki, last_k)
+
+        def clamp_q(ki, qi):
+            first_q = jnp.clip(
+                (ki * block_k - seq_len_diff) // block_q, 0, nq - 1
+            )
+            return jnp.maximum(qi, first_q)
+    else:
+        clamp_k = lambda qi, ki: ki
+        clamp_q = lambda ki, qi: qi
+
     # ---------------- dQ kernel: grid (b, h, nq, nk) ----------------
     dq_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
         pl.BlockSpec((1, 1, block_k, d),
-                     lambda bi, hi, qi, ki: (bi, kv_head(hi), ki, 0)),
+                     lambda bi, hi, qi, ki: (bi, kv_head(hi),
+                                             clamp_k(qi, ki), 0)),
         pl.BlockSpec((1, 1, block_k, d),
-                     lambda bi, hi, qi, ki: (bi, kv_head(hi), ki, 0)),
+                     lambda bi, hi, qi, ki: (bi, kv_head(hi),
+                                             clamp_k(qi, ki), 0)),
         pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
         pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
         pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -406,14 +485,15 @@ def flash_attention_backward(
     if has_mask:
         dq_args.append(mask_f)
         dq_specs.append(
-            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki))
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bi, hi, qi, ki: (bi, 0, clamp_k(qi, ki)))
         )
     if has_bias:
         dq_args.append(bias)
         if bias_batch_dim:
-            bidx = lambda bi, hi, qi, ki: (bi, qi, ki)
+            bidx = lambda bi, hi, qi, ki: (bi, qi, clamp_k(qi, ki))
         else:
-            bidx = lambda bi, hi, qi, ki: (hi, qi, ki)
+            bidx = lambda bi, hi, qi, ki: (hi, qi, clamp_k(qi, ki))
         dq_specs.append(pl.BlockSpec((1, block_q, block_k), bidx))
 
     dq = pl.pallas_call(
@@ -437,14 +517,18 @@ def flash_attention_backward(
 
     # ------------- dKdV kernel: grid (b, nk, h, nq) -------------
     dkv_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda bi, ki, hi, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, d),
+                     lambda bi, ki, hi, qi: (bi, hi, clamp_q(ki, qi), 0)),
         pl.BlockSpec((1, 1, block_k, d),
                      lambda bi, ki, hi, qi: (bi, kv_head(hi), ki, 0)),
         pl.BlockSpec((1, 1, block_k, d),
                      lambda bi, ki, hi, qi: (bi, kv_head(hi), ki, 0)),
-        pl.BlockSpec((1, 1, block_q, d), lambda bi, ki, hi, qi: (bi, hi, qi, 0)),
-        pl.BlockSpec((1, 1, 1, block_q), lambda bi, ki, hi, qi: (bi, hi, 0, qi)),
-        pl.BlockSpec((1, 1, 1, block_q), lambda bi, ki, hi, qi: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, 1, block_q, d),
+                     lambda bi, ki, hi, qi: (bi, hi, clamp_q(ki, qi), 0)),
+        pl.BlockSpec((1, 1, 1, block_q),
+                     lambda bi, ki, hi, qi: (bi, hi, 0, clamp_q(ki, qi))),
+        pl.BlockSpec((1, 1, 1, block_q),
+                     lambda bi, ki, hi, qi: (bi, hi, 0, clamp_q(ki, qi))),
     ]
     dkv_args = [q, k, v, do, delta_t, inv_l_t]
     if has_mask:
@@ -456,9 +540,9 @@ def flash_attention_backward(
     if has_bias:
         dkv_args.append(bias)
         if bias_batch_dim:
-            bidx2 = lambda bi, ki, hi, qi: (bi, qi, ki)
+            bidx2 = lambda bi, ki, hi, qi: (bi, clamp_q(ki, qi), ki)
         else:
-            bidx2 = lambda bi, ki, hi, qi: (hi, qi, ki)
+            bidx2 = lambda bi, ki, hi, qi: (hi, clamp_q(ki, qi), ki)
         dkv_specs.append(pl.BlockSpec((1, block_q, block_k), bidx2))
 
     kv_out_spec = pl.BlockSpec(

@@ -80,15 +80,16 @@ def _fwd_kernel(
     q_last_global = qi * block_q + block_q - 1 + seq_len_diff
     run = (q_last_global >= ki * block_k) if causal else True
 
-    @pl.when(run)
-    def _compute():
+    def _tile(masked: bool):
+        """One tile of the streaming attention; ``masked`` selects whether
+        the bounds/causal/key-mask epilogue is applied."""
         q = q_ref[0, 0]  # (block_q, d)
         k = k_ref[0, 0]  # (block_k, d)
         v = v_ref[0, 0]  # (block_k, d)
 
         # zero V's out-of-bounds rows: pallas pads OOB reads with garbage,
         # and garbage*0 = NaN would contaminate the PV matmul
-        if seq_k % block_k != 0:
+        if masked and seq_k % block_k != 0:
             v_rows = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_k, 1), 0
             )
@@ -100,32 +101,65 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )  # (block_q, block_k)
 
-        logits = s * scale - scale
+        # bounded logits -> direct exp, no running max.  Computed as exp2
+        # with the log2(e) factor pre-folded into the (compile-time) scale:
+        # the VPU's transcendental unit is base-2, so jnp.exp(x) lowers to
+        # exp2(x * log2e) — pre-scaling saves one VPU multiply per element
+        # on the hottest tensor in the kernel.
+        log2e = 1.4426950408889634
+        logits2 = s * (scale * log2e) - (scale * log2e)
         if has_bias:
-            logits = logits + bias_ref[0].astype(jnp.float32)
+            logits2 = logits2 + bias_ref[0].astype(jnp.float32) * log2e
+        e = jnp.exp2(logits2)
 
-        # bounded logits -> direct exp, no running max
-        e = jnp.exp(logits)
-
-        # fused masking: bounds + causal + key mask -> zero weight
-        row_g = qi * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        col_g = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        keep = (row_g < seq_q) & (col_g < seq_k)
-        if causal:
-            keep &= col_g <= (row_g + seq_len_diff)
-        if has_mask:
-            keep &= mask_ref[0] > 0  # (1, block_k) broadcasts over rows
-        e = jnp.where(keep, e, 0.0)
+        if masked:
+            # fused masking: bounds + causal + key mask -> zero weight
+            row_g = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            col_g = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            keep = (row_g < seq_q) & (col_g < seq_k)
+            if causal:
+                keep &= col_g <= (row_g + seq_len_diff)
+            if has_mask:
+                keep &= mask_ref[0] > 0  # (1, block_k) broadcasts over rows
+            e = jnp.where(keep, e, 0.0)
 
         lsum_ref[...] += jnp.sum(e, axis=-1, keepdims=True)
         acc_ref[...] += jax.lax.dot_general(
             e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
+
+    # Interior fast path: tiles fully in bounds and fully below the causal
+    # diagonal need no epilogue at all — the per-element iota/compare/where
+    # chain is pure VPU cost on a tile the MXU already finished, and for
+    # long sequences interior tiles are the vast majority.  Key-masked
+    # runs always take the masked path (mask contents are dynamic).
+    interior = ((qi + 1) * block_q <= seq_q) & ((ki + 1) * block_k <= seq_k)
+    if causal:
+        # whole tile attendable: the tile's last column is visible to its
+        # FIRST query row
+        interior &= (ki + 1) * block_k - 1 <= qi * block_q + seq_len_diff
+    if has_mask:
+        interior = False
+
+    if has_mask or (seq_q % block_q == 0 and seq_k % block_k == 0
+                    and not causal):
+        # statically known: every tile is interior (or every tile masked)
+        @pl.when(run)
+        def _compute():
+            _tile(masked=bool(has_mask))
+    else:
+        @pl.when(run & interior)
+        def _fast():
+            _tile(masked=False)
+
+        @pl.when(run & jnp.logical_not(interior))
+        def _slow():
+            _tile(masked=True)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -167,13 +201,34 @@ def flash_attention_forward(
 
     kv_head = (lambda hi: hi) if kvh > 1 else (lambda hi: 0)
 
+    # Causal DMA elision: tiles strictly above the diagonal are compute-
+    # skipped (pl.when in the kernel), but their K/V blocks would still be
+    # DMA'd.  Clamping the block index at the last needed K block makes the
+    # index map return the SAME block for every skipped step, and the Pallas
+    # pipeline skips re-fetching an unchanged block — so skipped tiles cost
+    # neither FLOPs nor HBM bandwidth (the TPU analogue of the CUDA early
+    # exit at cu:1178 also saving its gmem reads).
+    if causal:
+        seq_len_diff = seq_k - seq_q
+
+        def clamp_k(qi, ki):
+            last_k = jnp.clip(
+                (qi * block_q + block_q - 1 + seq_len_diff) // block_k,
+                0, nk - 1,
+            )
+            return jnp.minimum(ki, last_k)
+    else:
+        clamp_k = lambda qi, ki: ki
+
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
         pl.BlockSpec(
-            (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, kv_head(hi), ki, 0)
+            (1, 1, block_k, d),
+            lambda bi, hi, qi, ki: (bi, kv_head(hi), clamp_k(qi, ki), 0),
         ),
         pl.BlockSpec(
-            (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, kv_head(hi), ki, 0)
+            (1, 1, block_k, d),
+            lambda bi, hi, qi, ki: (bi, kv_head(hi), clamp_k(qi, ki), 0),
         ),
     ]
     args = [q, k, v]
@@ -184,14 +239,15 @@ def flash_attention_forward(
         # (b, j) bool -> (b, 1, j) f32 for clean TPU tiling
         args.append(mask.astype(jnp.float32)[:, None, :])
         in_specs.append(
-            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki))
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bi, hi, qi, ki: (bi, 0, clamp_k(qi, ki)))
         )
     if has_bias:
         args.append(bias)
         if bias_batch_dim:
-            bias_idx = lambda bi, hi, qi, ki: (bi, qi, ki)
+            bias_idx = lambda bi, hi, qi, ki: (bi, qi, clamp_k(qi, ki))
         else:
-            bias_idx = lambda bi, hi, qi, ki: (hi, qi, ki)
+            bias_idx = lambda bi, hi, qi, ki: (hi, qi, clamp_k(qi, ki))
         in_specs.append(pl.BlockSpec((1, block_q, block_k), bias_idx))
 
     kernel = functools.partial(

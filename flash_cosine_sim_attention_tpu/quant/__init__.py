@@ -3,6 +3,7 @@ from .decode_kernel import (
     reference_decode_attention,
 )
 from .kv_cache import (
+    FP8_DTYPE,
     K_SCALE,
     QuantKVCache,
     append,
@@ -14,6 +15,7 @@ from .kv_cache import (
 )
 
 __all__ = [
+    "FP8_DTYPE",
     "K_SCALE",
     "QuantKVCache",
     "append",

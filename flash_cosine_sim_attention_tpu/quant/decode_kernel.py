@@ -1,15 +1,17 @@
-"""Pallas decode kernel: cosine-sim attention over an INT8 KV cache.
+"""Pallas decode kernel: cosine-sim attention over a quantized KV cache.
 
 Single-token (q_len=1) autoregressive attention, the serving hot path.
 Decode is HBM-bandwidth-bound — the entire KV cache streams through VMEM
-per token — so the int8 cache halves traffic vs bf16 (4x vs f32), and the
-dequant is fused into the attention tile:
+per token — so the int8/fp8 cache halves traffic vs bf16 (4x vs f32), and
+the dequant is fused into the attention tile:
 
-  * K dequant is a constant multiply (fixed scale 127, K normalized), which
-    folds into the already-fused ``exp(scale*s - scale)`` epilogue: we feed
-    the MXU the raw int8-as-bf16 K and fold 1/127 into the logit scale.
-  * V's per-token scale is folded into the exp weights BEFORE the PV
-    matmul (e_j * vscale_j), so V's int8 values go straight to the MXU.
+  * K dequant is a constant multiply (fixed scale 127 for int8 — K is
+    normalized; 1 for e4m3), which folds into the already-fused
+    ``exp(scale*s - scale)`` epilogue: we feed the MXU the raw
+    quantized-as-bf16 K and fold the dequant into the logit scale.
+  * int8 V's per-token scale is folded into the exp weights BEFORE the PV
+    matmul (e_j * vscale_j), so V's int8 values go straight to the MXU;
+    fp8 V is stored unscaled and needs no fold at all.
 
 No running row-max, as everywhere in this framework: logits are bounded.
 
@@ -30,26 +32,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.blocks import EPS
 from ..ops.reference import l2norm_tensors
-from .kv_cache import K_SCALE, QuantKVCache, dequantize_k, dequantize_v
+from .kv_cache import QuantKVCache, dequantize_k, dequantize_v
 
 
 def _decode_kernel(
-    len_ref,    # SMEM (1, 1) int32: this slot's cache length
-    q_ref,      # (1, 1, g, d) bf16/f32 — l2-normalized query group
-    k8_ref,     # (1, 1, block_k, d) int8
-    v8_ref,     # (1, 1, block_k, d) int8
-    vs_ref,     # (1, 1, 1, block_k) f32 — per-token V scale, transposed
-    o_ref,      # (1, 1, g, d) f32
-    acc_ref,    # scratch (g, d) f32
-    lsum_ref,   # scratch (g, 1) f32
-    *,
+    *refs,
+    # len_ref   SMEM (b, 1) int32: ALL slots' cache lengths (whole-array
+    #           block: Mosaic requires SMEM blocks be full dims; indexed
+    #           by the batch grid axis inside the kernel)
+    # q_ref     (1, 1, g, d) bf16/f32 — l2-normalized query group
+    # k8_ref    (1, 1, block_k, d) int8 or e4m3
+    # v8_ref    (1, 1, block_k, d) int8 or e4m3
+    # vs_ref    (1, 1, 1, block_k) f32 per-token V scale (int8 format only)
+    # o_ref     (1, 1, g, d) f32
+    # acc_ref   scratch (g, d) f32
+    # lsum_ref  scratch (g, 1) f32
     scale: float,
+    k_dequant_scale: float,
+    has_vscale: bool,
     block_k: int,
     group: int,
 ):
+    idx = 0
+    len_ref = refs[idx]; idx += 1
+    q_ref = refs[idx]; idx += 1
+    k8_ref = refs[idx]; idx += 1
+    v8_ref = refs[idx]; idx += 1
+    vs_ref = None
+    if has_vscale:
+        vs_ref = refs[idx]; idx += 1
+    o_ref, acc_ref, lsum_ref = refs[idx : idx + 3]
+
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
-    length = len_ref[0, 0]
+    length = len_ref[pl.program_id(0), 0]
 
     @pl.when(ki == 0)
     def _init():
@@ -59,18 +75,19 @@ def _decode_kernel(
     @pl.when(ki * block_k < length)
     def _compute():
         q = q_ref[0, 0]                       # (g, d)
-        k_i8 = k8_ref[0, 0]                   # (block_k, d) int8
-        v_i8 = v8_ref[0, 0]                   # (block_k, d) int8
+        k_q = k8_ref[0, 0]                    # (block_k, d) int8/e4m3
+        v_q = v8_ref[0, 0]                    # (block_k, d) int8/e4m3
 
-        # int8 K -> bf16 for the MXU; the 1/127 dequant folds into the
-        # logit scale below (one fused constant, no extra pass over K)
+        # quantized K -> bf16 for the MXU; the dequant (1/127 for int8,
+        # 1 for fp8) folds into the logit scale below — one fused
+        # constant, no extra pass over K
         s = jax.lax.dot_general(
-            q.astype(jnp.bfloat16), k_i8.astype(jnp.bfloat16),
+            q.astype(jnp.bfloat16), k_q.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (g, block_k), units of 127*cos
+        )  # (g, block_k), units of cos/k_dequant_scale
 
-        eff_scale = scale / K_SCALE
+        eff_scale = scale * k_dequant_scale
         e = jnp.exp(s * eff_scale - scale)
 
         col = ki * block_k + jax.lax.broadcasted_iota(
@@ -78,11 +95,12 @@ def _decode_kernel(
         e = jnp.where(col < length, e, 0.0)
 
         lsum_ref[...] += jnp.sum(e, axis=-1, keepdims=True)
-        # fold V's per-token scale into the exp weights, then int8 V
-        # (as bf16) hits the MXU directly
-        e_scaled = (e * vs_ref[0, 0]).astype(jnp.bfloat16)
+        # int8: fold V's per-token scale into the exp weights so raw int8
+        # V (as bf16) hits the MXU directly; fp8 V needs no scale at all
+        e_scaled = ((e * vs_ref[0, 0]) if has_vscale else e
+                    ).astype(jnp.bfloat16)
         acc_ref[...] += jax.lax.dot_general(
-            e_scaled, v_i8.astype(jnp.bfloat16),
+            e_scaled, v_q.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -123,24 +141,32 @@ def quantized_decode_attention(
     nk = cap // block_k
 
     qg = q.reshape(b, kvh, g, d)
-    vs_t = cache.v_scale.swapaxes(-1, -2)  # (b, kvh, 1, cap)
     length = jnp.asarray(cache.length, jnp.int32).reshape(b, 1)
+    has_vscale = not cache.is_fp8  # fp8 V is stored unscaled
+
+    in_specs = [
+        pl.BlockSpec((b, 1), lambda bi, hi, ki: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, g, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda bi, hi, ki: (bi, hi, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d),
+                     lambda bi, hi, ki: (bi, hi, ki, 0)),
+    ]
+    args = [length, qg, cache.k8, cache.v8]
+    if has_vscale:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, block_k),
+                         lambda bi, hi, ki: (bi, hi, 0, ki)))
+        args.append(cache.v_scale.swapaxes(-1, -2))  # (b, kvh, 1, cap)
 
     out = pl.pallas_call(
         functools.partial(
-            _decode_kernel, scale=float(scale), block_k=block_k, group=g),
+            _decode_kernel, scale=float(scale),
+            k_dequant_scale=cache.k_dequant_scale,
+            has_vscale=has_vscale, block_k=block_k, group=g),
         grid=(b, kvh, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda bi, hi, ki: (bi, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, g, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, hi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d),
-                         lambda bi, hi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, 1, 1, block_k),
-                         lambda bi, hi, ki: (bi, hi, 0, ki)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), jnp.float32),
         scratch_shapes=[
@@ -151,7 +177,7 @@ def quantized_decode_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(length, qg, cache.k8, cache.v8, vs_t)
+    )(*args)
 
     out = out.reshape(b, h, d).astype(q.dtype)
     return out[:, :, None, :] if squeeze else out

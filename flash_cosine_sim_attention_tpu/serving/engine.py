@@ -53,7 +53,9 @@ class InferenceEngine:
         filter_thres: float = 0.9,
         prompt_buckets: Tuple[int, ...] = (128, 256, 512, 1024),
         seed: int = 0,
+        kv_dtype=None,
     ):
+        kv_dtype = kv_dtype if kv_dtype is not None else jnp.int8
         self.model = model
         self.params = params
         self.num_slots = num_slots
@@ -61,7 +63,9 @@ class InferenceEngine:
         self.buckets = tuple(b for b in prompt_buckets if b <= capacity)
         self.temperature = temperature
         self.filter_thres = filter_thres
-        self.state = init_decode_state(model, num_slots, capacity)
+        self.kv_dtype = kv_dtype
+        self.state = init_decode_state(model, num_slots, capacity,
+                                       kv_dtype=kv_dtype)
         self.active = np.zeros(num_slots, bool)
         self.last_token = np.zeros(num_slots, np.int32)
         self._rng = jax.random.PRNGKey(seed)
@@ -81,7 +85,8 @@ class InferenceEngine:
         def _prefill_one(params, tokens, true_len, rng):
             """Bucketed batch-1 prefill; exact because causal attention
             never attends right-pads."""
-            st = init_decode_state(self.model, 1, self.capacity)
+            st = init_decode_state(self.model, 1, self.capacity,
+                                   kv_dtype=self.kv_dtype)
             logits_last, st = prefill(self.model, params, st, tokens,
                                       true_len=true_len)
             tok = _sample(rng, logits_last)

@@ -32,14 +32,14 @@ def make_inputs(rng, b, h, kvh, i, j, d, use_mask, use_bias, bbd, dtype):
 
 
 def check(q, k, v, mask, bias, *, causal, bbd, groups=1, grads=True,
-          scale=8.0):
+          scale=8.0, block_q=None, block_k=None):
     dtype = q.dtype
     atol = atol_for(dtype)
 
     kw = dict(mask=mask, causal=causal, attn_bias_batch_dim=bbd,
               groups=groups, scale=scale)
     fused = lambda q, k, v, bias: flash_cosine_sim_attention(
-        q, k, v, attn_bias=bias, **kw)
+        q, k, v, attn_bias=bias, block_q=block_q, block_k=block_k, **kw)
     plain = lambda q, k, v, bias: plain_cosine_sim_attention(
         q, k, v, attn_bias=bias, **kw)
 
@@ -128,6 +128,19 @@ def test_cross_attention_kv_shorter():
                      jnp.float32)
     for name, gf, gp in zip("dq dk dv".split(), vjp_f(do), vjp_p(do)):
         assert float(jnp.abs(gf - gp).max()) < 2e-4, name
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_interior_fast_path(causal, use_bias):
+    # 3x3 grid of 128-blocks on a block-multiple seq: interior tiles (fully
+    # in bounds, fully below the causal diagonal) take the no-epilogue fast
+    # path; edge/diagonal tiles take the masked path.  Parity across both.
+    rng = np.random.default_rng(10)
+    q, k, v, mask, bias = make_inputs(
+        rng, 2, 2, 2, 384, 384, 64, False, use_bias, False, jnp.float32)
+    check(q, k, v, mask, bias, causal=causal, bbd=False,
+          block_q=128, block_k=128)
 
 
 def test_grouped_l2norm():

@@ -104,6 +104,39 @@ def test_append_is_incremental():
     assert bool(jnp.allclose(c_all.v_scale, c_steps.v_scale))
 
 
+def test_fp8_cache_decode():
+    """e4m3 KV cache: metadata-free storage, same fused decode kernel."""
+    from flash_cosine_sim_attention_tpu.quant import FP8_DTYPE
+    rng = np.random.default_rng(6)
+    b, h, d, n, cap = 2, 4, 64, 192, 256
+    cache = init_cache(b, h, cap, d, kv_dtype=FP8_DTYPE)
+    assert cache.is_fp8
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    kn = l2norm_tensors(k)
+    cache = append(cache, kn, v)
+
+    q = jnp.asarray(rng.standard_normal((b, h, 1, d)), jnp.float32)
+    out_q = quantized_decode_attention(q, cache, block_k=128)
+    ref = reference_decode_attention(q, cache)
+    assert float(jnp.abs(out_q - ref).max()) < DELTA_KERNEL_VS_ORACLE
+
+    # fp8 is coarser than int8 but must stay within ~2x the stated delta
+    out_f = flash_cosine_sim_attention(q, k, v, mask=jnp.ones((b, n), bool))
+    assert float(jnp.abs(out_q - out_f).max()) < 2 * DELTA_QUANT_VS_F32
+
+
+def test_fp8_roundtrip_bounds():
+    from flash_cosine_sim_attention_tpu.quant import FP8_DTYPE
+    rng = np.random.default_rng(7)
+    k = jnp.asarray(rng.standard_normal((2, 2, 32, 32)), jnp.float32)
+    kn = l2norm_tensors(k)
+    k8 = quantize_k(kn, FP8_DTYPE)
+    assert k8.dtype == FP8_DTYPE
+    # e4m3 relative error is ~2^-4 near 1.0; absolute error on [-1,1] values
+    assert float(jnp.abs(dequantize_k(k8) - kn).max()) < 1.0 / 16
+
+
 def test_grouped_l2norm_cache():
     # grouped norms keep components in [-1, 1]; kernel must stay accurate
     rng = np.random.default_rng(5)
