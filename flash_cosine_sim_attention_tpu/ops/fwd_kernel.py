@@ -53,6 +53,7 @@ def _fwd_kernel(
     has_bias: bool,
     out_dtype,
     precision,
+    s_dequant: float,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -95,11 +96,20 @@ def _fwd_kernel(
             )
             v = jnp.where(v_rows < seq_k, v, jnp.zeros_like(v))
 
-        # QK^T on the MXU, f32 accumulation
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # (block_q, block_k)
+        # QK^T on the MXU.  bf16/f32 inputs accumulate in f32; int8 inputs
+        # (the quantized-QK path: normalized Q/K at the fixed scale 127)
+        # take the int8 MXU path — 2x bf16 throughput on v5e — and the
+        # 1/127^2 dequant folds into the compile-time logit scale below.
+        if q.dtype == jnp.int8:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # (block_q, block_k)
 
         # bounded logits -> direct exp, no running max.  Computed as exp2
         # with the log2(e) factor pre-folded into the (compile-time) scale:
@@ -107,7 +117,7 @@ def _fwd_kernel(
         # exp2(x * log2e) — pre-scaling saves one VPU multiply per element
         # on the hottest tensor in the kernel.
         log2e = 1.4426950408889634
-        logits2 = s * (scale * log2e) - (scale * log2e)
+        logits2 = s * (scale * log2e * s_dequant) - (scale * log2e)
         if has_bias:
             logits2 = logits2 + bias_ref[0].astype(jnp.float32) * log2e
         e = jnp.exp2(logits2)
@@ -181,11 +191,14 @@ def flash_attention_forward(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
+    s_dequant: float = 1.0,
 ):
     """Launch the fused forward; returns (o, inv_rowsum).
 
     q/k must already be l2-normalized (normalization, like the reference,
-    happens in the Python wrapper — ref .py:320-321).
+    happens in the Python wrapper — ref .py:320-321).  For the int8-QK
+    path, q/k arrive already quantized (int8) and ``s_dequant`` carries
+    the 1/127^2 score dequant factor; ``v`` stays high-precision.
     """
     b, h, seq_q, d = q.shape
     kvh = k.shape[1]
@@ -260,19 +273,21 @@ def flash_attention_forward(
         block_k=block_k,
         has_mask=has_mask,
         has_bias=has_bias,
-        out_dtype=q.dtype,
+        out_dtype=(v.dtype if q.dtype == jnp.int8 else q.dtype),
         # f32 inputs get full-precision MXU passes (the TPU default quietly
         # decomposes f32 matmuls into bf16 passes, ~1e-2 error); bf16 inputs
         # use the native bf16 MXU path with f32 accumulation
         precision=(jax.lax.Precision.HIGHEST
                    if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT),
+        s_dequant=float(s_dequant),
     )
 
     # inv rowsums carried as (b, h, seq, 1): a trailing singleton keeps the
     # block's last-two dims Mosaic-legal ((block_q, 1) = divisible-by-8 x
     # equal-to-array) where a (1, 1, block_q) block would not be
     out_shape = [
-        jax.ShapeDtypeStruct((b, h, seq_q, d), q.dtype),
+        jax.ShapeDtypeStruct((b, h, seq_q, d),
+                             v.dtype if q.dtype == jnp.int8 else q.dtype),
         jax.ShapeDtypeStruct((b, h, seq_q, 1), jnp.float32),
     ]
     out_specs = [

@@ -143,6 +143,33 @@ def test_interior_fast_path(causal, use_bias):
           block_q=128, block_k=128)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_qk_int8_forward(causal):
+    # int8-MXU QK path: fixed-scale-127 quantization of the normalized
+    # q/k; output within ~1e-2 of the f32 path, grads flow (STE)
+    rng = np.random.default_rng(11)
+    q, k, v, _, _ = make_inputs(
+        rng, 2, 4, 4, 192, 192, 64, False, False, False, jnp.float32)
+
+    # error bound: per-element sim error <= ~2*sqrt(d)/254 -> logit error
+    # ~scale*0.006 -> ~5% weight perturbation -> ~4e-2 on unit-scale
+    # output for long rows; causal short-context rows average few keys so
+    # perturbations don't cancel (up to ~1e-1 worst case)
+    o8 = flash_cosine_sim_attention(q, k, v, causal=causal, qk_int8=True)
+    of = flash_cosine_sim_attention(q, k, v, causal=causal)
+    assert float(jnp.abs(o8 - of).max()) < (1e-1 if causal else 4e-2)
+
+    # STE gradients approximate the f32 gradients (forward P is from
+    # quantized scores); require finiteness + small relative L2 error
+    g8 = jax.grad(lambda q: jnp.sum(flash_cosine_sim_attention(
+        q, k, v, causal=causal, qk_int8=True) ** 2))(q)
+    gf = jax.grad(lambda q: jnp.sum(flash_cosine_sim_attention(
+        q, k, v, causal=causal) ** 2))(q)
+    assert bool(jnp.isfinite(g8).all())
+    rel = float(jnp.linalg.norm(g8 - gf) / jnp.linalg.norm(gf))
+    assert rel < 0.1, rel
+
+
 def test_grouped_l2norm():
     rng = np.random.default_rng(4)
     q, k, v, mask, bias = make_inputs(
