@@ -72,14 +72,24 @@ def main():
             t_fused = benchmark(fused, q, k, v, forwards=forwards,
                                 backwards=backwards,
                                 num_times=args.num_times)
-            try:
-                t_naive = benchmark(naive, q, k, v, forwards=forwards,
-                                    backwards=backwards,
-                                    num_times=args.num_times)
-                ratio = f"{t_fused / t_naive:11.2f}x"
-                naive_s = f"{t_naive:10.2f}"
-            except Exception:  # baseline OOM (ref benchmark.py:129-136)
+            # Predict baseline OOM instead of provoking it: the unfused
+            # path materializes the (b, h, s, s) f32 logits plus softmax
+            # output and their cotangents; actually OOMing the tunneled
+            # TPU worker kills the whole process (unlike CUDA's
+            # recoverable allocator, ref benchmark.py:129-136).
+            n_bufs = 4 if backwards else 2
+            est = BATCH * HEADS * seq * seq * 4 * n_bufs
+            if est > 13e9:
                 naive_s, ratio = "       oom", "          —"
+            else:
+                try:
+                    t_naive = benchmark(naive, q, k, v, forwards=forwards,
+                                        backwards=backwards,
+                                        num_times=args.num_times)
+                    ratio = f"{t_fused / t_naive:11.2f}x"
+                    naive_s = f"{t_naive:10.2f}"
+                except Exception:  # baseline OOM
+                    naive_s, ratio = "       oom", "          —"
             print(f"{jnp.dtype(dtype).name:>9} {seq:>6} {t_fused:10.2f} "
                   f"{naive_s} {ratio}", flush=True)
 

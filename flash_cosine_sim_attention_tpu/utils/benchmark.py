@@ -69,21 +69,25 @@ def benchmark(
     q0 = args[0]
     rest = args[1:]
 
-    def fwd_step(x):
+    def fwd_step(x, *rest):
         return fn(x, *rest).astype(x.dtype)
 
-    def fwdbwd_step(x):
+    def fwdbwd_step(x, *rest):
         def loss(*a):
             return jnp.sum(fn(*a).astype(jnp.float32))
-        grads = jax.grad(loss, argnums=grad_argnums)((x, *rest)[0], *rest)
+        grads = jax.grad(loss, argnums=grad_argnums)(x, *rest)
         return grads[0].astype(x.dtype)  # dq chains into next q
 
     def make_loop(step):
+        # all operands are explicit jit arguments: a closed-over concrete
+        # array would be embedded in the program as a constant (shipped
+        # with the executable and double-buffered on device)
         @jax.jit
-        def run(n):
-            out = jax.lax.fori_loop(0, n, lambda i, x: step(x), q0)
+        def run(n, q0, *rest):
+            out = jax.lax.fori_loop(
+                0, n, lambda i, x: step(x, *rest), q0)
             return jnp.sum(out.astype(jnp.float32))
-        return run
+        return lambda n: run(n, q0, *rest)
 
     if forwards and not backwards:
         return _slope_ms(make_loop(fwd_step), num_times)

@@ -61,12 +61,14 @@ def _fill_cache(rng, b, kvh, cap, d, n_tokens, groups=1):
 
 @pytest.mark.parametrize("kvh,h", [(4, 4), (1, 8)])
 @pytest.mark.parametrize("n_tokens", [63, 256])
-def test_decode_kernel_vs_oracle(kvh, h, n_tokens):
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_decode_kernel_vs_oracle(kvh, h, n_tokens, use_kernel):
     rng = np.random.default_rng(2)
     b, d, cap = 2, 64, 256
     cache, _, _ = _fill_cache(rng, b, kvh, cap, d, n_tokens)
     q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
-    out = quantized_decode_attention(q, cache, block_k=128)
+    out = quantized_decode_attention(q, cache, block_k=128,
+                                     use_kernel=use_kernel)
     ref = reference_decode_attention(q, cache)
     assert float(jnp.abs(out - ref).max()) < DELTA_KERNEL_VS_ORACLE
 
