@@ -1,16 +1,24 @@
 from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh, sharding
 from .ring_attention import ring_flash_cosine_sim_attention
 from .sharded_attention import head_sharded_flash_attention
+from .sharded_decode import (
+    cache_shardings,
+    head_sharded_decode_attention,
+    shard_cache,
+)
 from .train import make_sharded_train_step, param_shardings, shard_params
 
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "cache_shardings",
     "make_mesh",
     "sharding",
     "head_sharded_flash_attention",
+    "head_sharded_decode_attention",
     "ring_flash_cosine_sim_attention",
     "make_sharded_train_step",
     "param_shardings",
+    "shard_cache",
     "shard_params",
 ]

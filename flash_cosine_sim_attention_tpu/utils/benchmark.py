@@ -43,7 +43,10 @@ def _slope_ms(loop: Callable, n: int, trials: int = 3,
     float(loop(2))  # warm compile + caches
     # rough estimate to pick the operating point
     est = max((_timed(loop, n) - _timed(loop, 1)) / (n - 1), 1e-7)
-    n_long = int(min(max(target_s / est, n), 100_000))
+    # cap the trip count: very long device loops have been observed to
+    # wedge the remote-attached TPU worker, and past ~2000 iterations the
+    # slope is dispatch-noise-free anyway
+    n_long = int(min(max(target_s / est, n), 2000))
     n_short = max(n_long // 4, 1)
     best = float("inf")
     for _ in range(trials):

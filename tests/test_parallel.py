@@ -98,6 +98,33 @@ def test_param_sharding_rules():
     assert all(s.spec == jax.sharding.PartitionSpec() for s in emb)
 
 
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_head_sharded_decode_matches_local(use_kernel):
+    from flash_cosine_sim_attention_tpu import l2norm_tensors
+    from flash_cosine_sim_attention_tpu.parallel import (
+        head_sharded_decode_attention,
+        shard_cache,
+    )
+    from flash_cosine_sim_attention_tpu.quant import (
+        append,
+        init_cache,
+        quantized_decode_attention,
+    )
+    mesh = make_mesh(8, model_parallel=4)
+    rng = np.random.default_rng(2)
+    b, h, d, n, cap = 2, 8, 64, 100, 128
+    cache = init_cache(b, h, cap, d)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    cache = append(cache, l2norm_tensors(k), v)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+
+    o_local = quantized_decode_attention(q, cache, use_kernel=use_kernel)
+    o_shard = head_sharded_decode_attention(
+        q, shard_cache(cache, mesh), mesh, use_kernel=use_kernel)
+    assert float(jnp.abs(o_local - o_shard).max()) < 1e-6
+
+
 @pytest.mark.parametrize("causal", [True, False])
 def test_ring_attention_matches_local(causal):
     from jax.sharding import Mesh
