@@ -28,6 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .blocks import ALLOWED_DIM_HEADS
 from .bwd_kernel import flash_attention_backward
 from .fwd_kernel import flash_attention_forward
 from .reference import canonicalize_qkv, l2norm_tensors
@@ -137,6 +138,15 @@ def flash_cosine_sim_attention(
     """
     assert not (causal and mask is not None), (
         "mask should not be supplied if causality is needed"
+    )
+    # the reference restricts dim_head to {16,32,64,96,128} (cu:1673-1675);
+    # the TPU kernels are tuned for those but accept any multiple of 8
+    # (Mosaic's lane-tiling requirement) — reject the rest with a clear
+    # error instead of a kernel-lowering failure
+    d = q.shape[-1]
+    assert d in ALLOWED_DIM_HEADS or d % 8 == 0, (
+        f"dim_head {d} not supported: must be one of {ALLOWED_DIM_HEADS} "
+        f"or a multiple of 8"
     )
 
     if l2norm_qk:
