@@ -13,10 +13,22 @@ from .kv_cache import (
     quantize_k,
     quantize_v,
 )
+from .paged import (
+    PageAllocator,
+    PagedKVCache,
+    append_paged,
+    init_paged_cache,
+    paged_decode_attention,
+)
 
 __all__ = [
     "FP8_DTYPE",
     "K_SCALE",
+    "PageAllocator",
+    "PagedKVCache",
+    "append_paged",
+    "init_paged_cache",
+    "paged_decode_attention",
     "QuantKVCache",
     "append",
     "dequantize_k",

@@ -1,0 +1,396 @@
+"""Paged quantized KV cache: a shared page pool + per-slot page tables.
+
+Production serving memory management (beyond the fixed per-slot buffers in
+kv_cache.py): all batch slots draw fixed-size pages from one pool, so
+memory scales with TOKENS IN USE rather than slots x max-capacity, and a
+finished request's pages return to the free list immediately.
+
+Layout (TPU-first):
+
+  * pool ``k8``/``v8``: (num_pages, kvh, d, page_size) int8 (or e4m3) —
+    note the TRANSPOSED token-minor layout: the lane (minor) dimension is
+    ``page_size`` (a multiple of 128), which makes whole pages legal
+    targets for manual Mosaic DMAs (int8's lane tiling pads a d=64 minor
+    dim to 128, and DMA slices must be lane-aligned — with tokens minor
+    the page is always aligned).  It is also the better MXU layout: the
+    QK contraction runs over d in sublanes and PV contracts over the
+    page's 128+ tokens.
+  * ``v_scale``: (num_pages, kvh, 1, page_size) f32 (int8 format only).
+  * ``page_table``: (num_slots, max_pages) int32 page ids; entries past a
+    slot's allocation point at the reserved null page 0 and are masked by
+    ``length``.
+  * ``length``: (num_slots,) int32 tokens written per slot.
+
+Page ALLOCATION is host-side policy (the engine owns a free list and
+writes page ids into the table before appending); everything here is
+functional and jittable.
+
+Two decode implementations (mirroring decode_kernel.py, but the winner
+is reversed here — measured on v5e at b8 h8 d64 ctx8000 int8):
+  * ``use_kernel=True`` (default): Pallas kernel with the page table
+    scalar-prefetched into SMEM — each grid step manually DMAs its
+    chunk's pages STRAIGHT from the HBM pool into VMEM, double-buffered
+    across chunks (prefetch ci+1 while computing ci).  0.276 ms/token.
+  * ``use_kernel=False`` (XLA): gather the slot's pages (int8 copy in
+    HBM) and run the fused-dequant einsum decode.  0.821 ms/token — the
+    gather materialization costs ~3x.
+  (The contiguous non-paged cache decodes the same tokens in 0.118 ms —
+  paging buys memory flexibility, not speed.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.blocks import EPS
+from ..ops.reference import l2norm_tensors
+from .kv_cache import FP8_DTYPE, K_SCALE, quantize_k, quantize_v
+
+
+class PagedKVCache(NamedTuple):
+    k8: jax.Array          # (num_pages, kvh, d, page_size)
+    v8: jax.Array          # (num_pages, kvh, d, page_size)
+    v_scale: jax.Array     # (num_pages, kvh, 1, page_size) f32
+    page_table: jax.Array  # (num_slots, max_pages) int32
+    length: jax.Array      # (num_slots,) int32
+
+    @property
+    def page_size(self) -> int:
+        return self.k8.shape[3]
+
+    @property
+    def max_pages(self) -> int:
+        return self.page_table.shape[1]
+
+    @property
+    def is_fp8(self) -> bool:
+        return self.k8.dtype == FP8_DTYPE
+
+    @property
+    def k_dequant_scale(self) -> float:
+        return 1.0 if self.is_fp8 else 1.0 / K_SCALE
+
+
+def init_paged_cache(
+    num_pages: int,
+    kv_heads: int,
+    page_size: int,
+    dim_head: int,
+    num_slots: int,
+    max_pages_per_slot: int,
+    kv_dtype=jnp.int8,
+) -> PagedKVCache:
+    assert kv_dtype in (jnp.int8, FP8_DTYPE)
+    assert page_size % 128 == 0, "page_size must be a multiple of 128 (lanes)"
+    return PagedKVCache(
+        k8=jnp.zeros((num_pages, kv_heads, dim_head, page_size), kv_dtype),
+        v8=jnp.zeros((num_pages, kv_heads, dim_head, page_size), kv_dtype),
+        v_scale=(jnp.zeros if kv_dtype == jnp.int8 else jnp.ones)(
+            (num_pages, kv_heads, 1, page_size), jnp.float32),
+        page_table=jnp.zeros((num_slots, max_pages_per_slot), jnp.int32),
+        length=jnp.zeros((num_slots,), jnp.int32),
+    )
+
+
+def append_paged(cache: PagedKVCache, k_norm: jax.Array, v: jax.Array
+                 ) -> PagedKVCache:
+    """Append a (b, kvh, t, d) chunk at each slot's write position.
+
+    The page table must already hold valid page ids for the target
+    positions (the engine allocates pages BEFORE appending).  Jittable:
+    the write decomposes into per-token (page_id, offset) scatter
+    indices derived from ``length``.  Inactive slots in a batched append
+    may target the null page 0; colliding writes there are harmless
+    because page 0 is never attended (masked by length).
+    """
+    b, kvh, t, d = k_norm.shape
+    ps = cache.page_size
+    kv_dtype = cache.k8.dtype
+
+    pos = cache.length[:, None] + jnp.arange(t)[None, :]        # (b, t)
+    pids = jnp.take_along_axis(
+        cache.page_table, pos // ps, axis=1)                    # (b, t)
+    offs = pos % ps                                             # (b, t)
+
+    k_q = quantize_k(k_norm, kv_dtype)                 # (b, kvh, t, d)
+    v_q, vs = quantize_v(v, kv_dtype)                  # vs: (b, kvh, t, 1)
+
+    # scatter (b, t) token COLUMNS into the token-minor pool: advanced
+    # indices at dims 0 and 3 (separated by slices) put (b, t) in front,
+    # so values arrive as (b, t, kvh, d) / (b, t, kvh, 1)
+    k8 = cache.k8.at[pids, :, :, offs].set(k_q.transpose(0, 2, 1, 3))
+    v8 = cache.v8.at[pids, :, :, offs].set(v_q.transpose(0, 2, 1, 3))
+    v_scale = cache.v_scale.at[pids, :, :, offs].set(
+        vs.transpose(0, 2, 1, 3))
+    return PagedKVCache(k8, v8, v_scale, cache.page_table,
+                        cache.length + t)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _xla_paged_decode(q, cache: PagedKVCache, scale: float):
+    """Gather the slot's pages, then the fused-dequant einsum decode."""
+    b, kvh, g, d = q.shape
+    ps, mp = cache.page_size, cache.max_pages
+
+    # (b, mp) page ids -> (b, mp, kvh, d, ps) -> (b, kvh, d, mp*ps)
+    k = cache.k8[cache.page_table].transpose(0, 2, 3, 1, 4)
+    k = k.reshape(b, kvh, d, mp * ps)
+    v = cache.v8[cache.page_table].transpose(0, 2, 3, 1, 4)
+    v = v.reshape(b, kvh, d, mp * ps)
+
+    keep = (jnp.arange(mp * ps)[None, None, None, :]
+            < cache.length[:, None, None, None])
+    s = jnp.einsum("bkgd,bkdj->bkgj", q.astype(jnp.bfloat16),
+                   k.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    e = jnp.exp(s * (scale * cache.k_dequant_scale) - scale)
+    e = jnp.where(keep, e, 0.0)
+    lsum = e.sum(-1, keepdims=True)
+    if not cache.is_fp8:
+        vs = cache.v_scale[cache.page_table].transpose(0, 2, 3, 1, 4)
+        vs = vs.reshape(b, kvh, mp * ps)
+        e = e * vs[:, :, None, :]
+    o = jnp.einsum("bkgj,bkdj->bkgd", e.astype(jnp.bfloat16),
+                   v.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    return o / jnp.maximum(lsum, EPS)
+
+
+def _paged_decode_kernel(
+    *refs,
+    # refs = (table_ref SMEM (b, mp_pad), len_ref SMEM (b, 1), [scalar]
+    #         q_ref (1,1,g,d),
+    #         k_hbm (P,kvh,d,ps) HBM, v_hbm (P,kvh,d,ps) HBM,
+    #         [vs_hbm (P,kvh,1,ps) HBM if has_vscale],
+    #         o_ref (1,1,g,d) f32,
+    #         kbuf (CP,d,ps), vbuf (CP,d,ps), [vsbuf (CP,1,ps)],
+    #         acc (g,d) f32, lsum (g,1) f32, sems DMA((3,CP)))
+    scale: float,
+    k_dequant_scale: float,
+    has_vscale: bool,
+    page_size: int,
+    chunk_pages: int,
+    group: int,
+):
+    idx = 0
+    table_ref = refs[idx]; idx += 1
+    len_ref = refs[idx]; idx += 1
+    q_ref = refs[idx]; idx += 1
+    k_hbm = refs[idx]; idx += 1
+    v_hbm = refs[idx]; idx += 1
+    vs_hbm = None
+    if has_vscale:
+        vs_hbm = refs[idx]; idx += 1
+    o_ref = refs[idx]; idx += 1
+    kbuf = refs[idx]; idx += 1
+    vbuf = refs[idx]; idx += 1
+    vsbuf = None
+    if has_vscale:
+        vsbuf = refs[idx]; idx += 1
+    acc_ref, lsum_ref, sems = refs[idx : idx + 3]
+
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    ci = pl.program_id(2)
+    nc = pl.num_programs(2)
+    length = len_ref[bi, 0]
+    chunk_tokens = chunk_pages * page_size
+
+    def start_chunk(c, slot):
+        """Issue the DMAs for chunk ``c`` into buffer ``slot``."""
+        for j in range(chunk_pages):
+            pid = table_ref[bi, c * chunk_pages + j]
+            pltpu.make_async_copy(
+                k_hbm.at[pid, hi], kbuf.at[slot, j],
+                sems.at[0, slot, j]).start()
+            pltpu.make_async_copy(
+                v_hbm.at[pid, hi], vbuf.at[slot, j],
+                sems.at[1, slot, j]).start()
+            if has_vscale:
+                pltpu.make_async_copy(
+                    vs_hbm.at[pid, hi], vsbuf.at[slot, j],
+                    sems.at[2, slot, j]).start()
+
+    def wait_chunk(slot):
+        for j in range(chunk_pages):
+            pltpu.make_async_copy(
+                k_hbm.at[0, 0], kbuf.at[slot, j],
+                sems.at[0, slot, j]).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[0, 0], vbuf.at[slot, j],
+                sems.at[1, slot, j]).wait()
+            if has_vscale:
+                pltpu.make_async_copy(
+                    vs_hbm.at[0, 0], vsbuf.at[slot, j],
+                    sems.at[2, slot, j]).wait()
+
+    @pl.when(ci == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        lsum_ref[...] = jnp.zeros_like(lsum_ref)
+
+        # this (bi, hi) lane's first chunk; guard keeps every start()
+        # matched with a wait() (length==0 slots never wait)
+        @pl.when(length > 0)
+        def _first():
+            start_chunk(0, 0)
+
+    slot = jax.lax.rem(ci, 2)
+
+    @pl.when(ci * chunk_tokens < length)
+    def _compute():
+        # double-buffered pipeline: prefetch chunk ci+1 into the other
+        # buffer, then wait for this chunk's pages and compute on them
+        @pl.when(((ci + 1) < nc) & ((ci + 1) * chunk_tokens < length))
+        def _prefetch():
+            start_chunk(ci + 1, 1 - slot)
+
+        wait_chunk(slot)
+
+        q = q_ref[0, 0].astype(jnp.bfloat16)              # (g, d)
+        for j in range(chunk_pages):
+            k_j = kbuf[slot, j].astype(jnp.bfloat16)      # (d, ps)
+            v_j = vbuf[slot, j].astype(jnp.bfloat16)      # (d, ps)
+            s = jax.lax.dot_general(
+                q, k_j, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (g, ps)
+            e = jnp.exp(s * (scale * k_dequant_scale) - scale)
+            col = ((ci * chunk_pages + j) * page_size
+                   + jax.lax.broadcasted_iota(
+                       jnp.int32, (group, page_size), 1))
+            e = jnp.where(col < length, e, 0.0)
+            lsum_ref[...] += jnp.sum(e, axis=-1, keepdims=True)
+            if has_vscale:
+                e = e * vsbuf[slot, j, 0][None, :]
+            acc_ref[...] += jax.lax.dot_general(
+                e.astype(jnp.bfloat16), v_j, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (g, d)
+
+    @pl.when(ci == nc - 1)
+    def _finalize():
+        o_ref[0, 0] = acc_ref[...] / jnp.maximum(lsum_ref[...], EPS)
+
+
+def _kernel_paged_decode(q, cache: PagedKVCache, scale: float,
+                         interpret: bool, chunk_tokens: int = 2048):
+    """Pallas paged decode: page table scalar-prefetched into SMEM; each
+    grid step manually DMAs its chunk's pages from the HBM pool into
+    VMEM and runs one fused attention tile per page."""
+    b, kvh, g, d = q.shape
+    ps, mp = cache.page_size, cache.max_pages
+    has_vscale = not cache.is_fp8
+
+    chunk_pages = max(1, min(mp, chunk_tokens // ps))
+    # pad the table to a multiple of the chunk (extra entries point at the
+    # null page 0 and are masked by length)
+    mp_pad = ((mp + chunk_pages - 1) // chunk_pages) * chunk_pages
+    table = cache.page_table
+    if mp_pad != mp:
+        table = jnp.pad(table, ((0, 0), (0, mp_pad - mp)))
+    n_chunks = mp_pad // chunk_pages
+
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    in_specs = [
+        pl.BlockSpec((1, 1, g, d),
+                     lambda bi, hi, ci, table, lens: (bi, hi, 0, 0)),
+        hbm_spec,   # k pool stays in HBM; pages DMA'd manually
+        hbm_spec,   # v pool
+    ]
+    args = [q, cache.k8, cache.v8]
+    scratch = [  # leading dim 2: double-buffered chunk assembly
+        pltpu.VMEM((2, chunk_pages, d, ps), cache.k8.dtype),
+        pltpu.VMEM((2, chunk_pages, d, ps), cache.v8.dtype),
+    ]
+    if has_vscale:
+        in_specs.append(hbm_spec)
+        args.append(cache.v_scale)
+        scratch.append(pltpu.VMEM((2, chunk_pages, 1, ps), jnp.float32))
+    scratch += [
+        pltpu.VMEM((g, d), jnp.float32),
+        pltpu.VMEM((g, 1), jnp.float32),
+        pltpu.SemaphoreType.DMA((3, 2, chunk_pages)),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, kvh, n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, g, d), lambda bi, hi, ci, table, lens: (bi, hi, 0, 0)),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_decode_kernel, scale=float(scale),
+            k_dequant_scale=cache.k_dequant_scale,
+            has_vscale=has_vscale, page_size=ps,
+            chunk_pages=chunk_pages, group=g),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(table, cache.length.reshape(b, 1), *args)
+    return out
+
+
+def paged_decode_attention(
+    q: jax.Array,            # (b, h, d) or (b, h, 1, d)
+    cache: PagedKVCache,
+    scale: float = 8.0,
+    groups: int = 1,
+    l2norm_qk: bool = True,
+    use_kernel: bool = True,
+    interpret=None,
+) -> jax.Array:
+    """One decode step against the paged cache (b = slot batch)."""
+    squeeze = q.ndim == 4
+    if squeeze:
+        assert q.shape[2] == 1
+        q = q[:, :, 0]
+    if l2norm_qk:
+        q = l2norm_tensors(q, groups=groups)
+    b, h, d = q.shape
+    kvh = cache.k8.shape[1]
+    assert h % kvh == 0
+    g = h // kvh
+    qg = q.reshape(b, kvh, g, d)
+
+    if use_kernel:
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        out = _kernel_paged_decode(qg, cache, float(scale), interpret)
+    else:
+        out = _xla_paged_decode(qg, cache, float(scale))
+    out = out.reshape(b, h, d).astype(q.dtype)
+    return out[:, :, None, :] if squeeze else out
+
+
+class PageAllocator:
+    """Host-side page free-list (engine policy, not device state)."""
+
+    def __init__(self, num_pages: int):
+        # page 0 is reserved as the null page (unallocated table entries
+        # point at it; their tokens are masked by ``length``)
+        self.free = list(range(num_pages - 1, 0, -1))
+
+    def alloc(self, n: int):
+        if len(self.free) < n:
+            raise RuntimeError(
+                f"page pool exhausted: need {n}, have {len(self.free)}")
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, pages):
+        for p in pages:
+            if p != 0:
+                self.free.append(int(p))
