@@ -24,12 +24,18 @@ import jax.numpy as jnp
 from ..ops.reference import l2norm_tensors
 from ..quant import QuantKVCache, append, init_cache
 from ..quant.decode_kernel import quantized_decode_attention
+from ..quant.paged import PagedKVCache, append_paged, paged_decode_attention
 from .transformer import CosineSimCausalTransformer, top_k_filter
 
 
 class DecodeState(NamedTuple):
     caches: Tuple[QuantKVCache, ...]   # one per layer
     pos: jax.Array                     # (b,) int32 — tokens consumed per slot
+
+
+class PagedDecodeState(NamedTuple):
+    caches: Tuple[PagedKVCache, ...]   # one per layer (shared page pools)
+    pos: jax.Array                     # (num_slots,) int32
 
 
 def _layer_params(params, name):
@@ -167,6 +173,93 @@ def decode_step(model: CosineSimCausalTransformer, params,
     x = _embed(model, params, token[:, None], state.pos)
     logits = _transformer_pass(model, params, x, attn)
     return logits[:, 0], DecodeState(tuple(caches), state.pos + 1)
+
+
+# ---------------------------------------------------------------------------
+# paged variants: per-layer page POOLS shared by all slots (quant/paged.py)
+# ---------------------------------------------------------------------------
+
+
+def init_paged_decode_state(
+    model: CosineSimCausalTransformer,
+    num_slots: int,
+    num_pages: int,
+    page_size: int,
+    max_pages_per_slot: int,
+    kv_dtype=jnp.int8,
+) -> PagedDecodeState:
+    from ..quant.paged import init_paged_cache
+
+    caches = tuple(
+        init_paged_cache(num_pages, model.heads, page_size, model.dim_head,
+                         num_slots, max_pages_per_slot, kv_dtype=kv_dtype)
+        for _ in range(model.depth))
+    return PagedDecodeState(caches, jnp.zeros((num_slots,), jnp.int32))
+
+
+def _slot_view(cache: PagedKVCache, slot) -> PagedKVCache:
+    """b=1 view of one slot over the SHARED pool (pools are aliased)."""
+    return cache._replace(
+        page_table=jax.lax.dynamic_slice_in_dim(
+            cache.page_table, slot, 1, axis=0),
+        length=jax.lax.dynamic_slice_in_dim(cache.length, slot, 1, axis=0),
+    )
+
+
+def _merge_view(cache: PagedKVCache, view: PagedKVCache, slot
+                ) -> PagedKVCache:
+    return PagedKVCache(
+        view.k8, view.v8, view.v_scale, cache.page_table,
+        jax.lax.dynamic_update_slice_in_dim(
+            cache.length, view.length, slot, axis=0))
+
+
+def prefill_paged(model: CosineSimCausalTransformer, params,
+                  state: PagedDecodeState, slot, tokens: jax.Array,
+                  true_len=None):
+    """Prefill ONE request (tokens: (1, n)) into ``slot`` of the shared
+    pools; other slots keep their pages untouched.  The slot's table row
+    must already hold enough allocated pages.  Returns (last-token
+    logits (1, vocab), new state)."""
+    caches = list(state.caches)
+
+    def attn(layer, q, k, v):
+        view = _slot_view(caches[layer], slot)
+        caches[layer] = _merge_view(caches[layer],
+                                    append_paged(view, k, v), slot)
+        from ..ops import flash_cosine_sim_attention
+        return flash_cosine_sim_attention(
+            q, k, v, causal=True, scale=model.attn_scale, l2norm_qk=False)
+
+    x = _embed(model, params, tokens, jnp.zeros((1,), jnp.int32))
+    logits = _transformer_pass(model, params, x, attn)
+    if true_len is None:
+        last = logits[:, -1]
+        n_new = jnp.full((1,), tokens.shape[1], jnp.int32)
+    else:
+        idx = (true_len - 1)[:, None, None]
+        last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+        n_new = true_len
+    pos = jax.lax.dynamic_update_slice_in_dim(state.pos, n_new, slot, 0)
+    return last, PagedDecodeState(tuple(caches), pos)
+
+
+def decode_step_paged(model: CosineSimCausalTransformer, params,
+                      state: PagedDecodeState, token: jax.Array,
+                      active: jax.Array):
+    """One decode step for every slot; ``active`` (num_slots,) bool masks
+    finished/empty slots (their caches and positions do not advance)."""
+    caches = list(state.caches)
+
+    def attn(layer, q, k, v):
+        caches[layer] = append_paged(caches[layer], k, v, active=active)
+        return paged_decode_attention(
+            q, caches[layer], scale=model.attn_scale, l2norm_qk=False)
+
+    x = _embed(model, params, token[:, None], state.pos)
+    logits = _transformer_pass(model, params, x, attn)
+    pos = state.pos + active.astype(jnp.int32)
+    return logits[:, 0], PagedDecodeState(tuple(caches), pos)
 
 
 def generate_cached(

@@ -98,16 +98,21 @@ def init_paged_cache(
     )
 
 
-def append_paged(cache: PagedKVCache, k_norm: jax.Array, v: jax.Array
-                 ) -> PagedKVCache:
+def append_paged(cache: PagedKVCache, k_norm: jax.Array, v: jax.Array,
+                 active=None) -> PagedKVCache:
     """Append a (b, kvh, t, d) chunk at each slot's write position.
 
     The page table must already hold valid page ids for the target
     positions (the engine allocates pages BEFORE appending).  Jittable:
     the write decomposes into per-token (page_id, offset) scatter
-    indices derived from ``length``.  Inactive slots in a batched append
-    may target the null page 0; colliding writes there are harmless
-    because page 0 is never attended (masked by length).
+    indices derived from ``length``.
+
+    ``active`` (optional (b,) bool) supports continuous batching: an
+    inactive slot's length does not advance, and its writes are
+    redirected to the null page 0 (a finished slot's table row may
+    still point at pages that have been RELEASED and reallocated to
+    another request — writing there would corrupt the new owner).
+    Collisions on the null page are harmless: it is never attended.
     """
     b, kvh, t, d = k_norm.shape
     ps = cache.page_size
@@ -117,6 +122,8 @@ def append_paged(cache: PagedKVCache, k_norm: jax.Array, v: jax.Array
     pids = jnp.take_along_axis(
         cache.page_table, pos // ps, axis=1)                    # (b, t)
     offs = pos % ps                                             # (b, t)
+    if active is not None:
+        pids = jnp.where(active[:, None], pids, 0)
 
     k_q = quantize_k(k_norm, kv_dtype)                 # (b, kvh, t, d)
     v_q, vs = quantize_v(v, kv_dtype)                  # vs: (b, kvh, t, 1)
@@ -128,8 +135,9 @@ def append_paged(cache: PagedKVCache, k_norm: jax.Array, v: jax.Array
     v8 = cache.v8.at[pids, :, :, offs].set(v_q.transpose(0, 2, 1, 3))
     v_scale = cache.v_scale.at[pids, :, :, offs].set(
         vs.transpose(0, 2, 1, 3))
-    return PagedKVCache(k8, v8, v_scale, cache.page_table,
-                        cache.length + t)
+    new_len = cache.length + (t if active is None
+                              else t * active.astype(jnp.int32))
+    return PagedKVCache(k8, v8, v_scale, cache.page_table, new_len)
 
 
 # ---------------------------------------------------------------------------
