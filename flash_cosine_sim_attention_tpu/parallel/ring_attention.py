@@ -12,6 +12,15 @@ merging partials — each rotation contributes un-normalized
 ``exp-weights @ V`` and a row-sum, merged by plain addition, and one divide
 at the end (the same identity the single-chip kernel uses, cu:1239).
 
+Fully differentiable (``jax.custom_vjp``): the backward runs the same
+ring.  Because the global inverse row-sum from the forward makes each
+(Q-shard, K/V-shard) pair's softmax partials EXACT (no max bookkeeping),
+each rotation just calls the standard pairwise Pallas backward; dQ
+accumulates locally, while dK/dV accumulate on f32 buffers that travel
+the ring WITH their K/V shard and arrive back at the owner after the
+full cycle — the sequence-parallel analogue of the atomics-free
+two-kernel backward split.
+
 Causality across shards is static structure: a K/V shard is either fully
 visible (earlier in the sequence), diagonal (same shard: the kernel's own
 causal mask), or fully masked (later) — chosen per rotation with
@@ -20,6 +29,7 @@ causal mask), or fully masked (later) — chosen per rotation with
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Optional
 
@@ -28,8 +38,141 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.blocks import EPS
+from ..ops.bwd_kernel import flash_attention_backward
 from ..ops.fwd_kernel import flash_attention_forward
 from ..ops.reference import l2norm_tensors
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ring(axis_name: str, scale: float, causal: bool, interpret: bool):
+    """Per-shard differentiable ring attention for one static config."""
+
+    fwd_pair = partial(
+        flash_attention_forward, mask=None, bias=None,
+        bias_batch_dim=False, scale=scale, interpret=interpret)
+    bwd_pair = partial(
+        flash_attention_backward, mask=None, bias=None,
+        bias_batch_dim=False, scale=scale, interpret=interpret)
+
+    def _case(me, g):
+        # 0 = fully visible (earlier shard), 1 = diagonal, 2 = masked
+        return jnp.where(g < me, 0, jnp.where(g == me, 1, 2))
+
+    def _ring_forward(qn, kn, v):
+        size = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        b, h, n_local, d = qn.shape
+        perm = [(i, (i + 1) % size) for i in range(size)]
+
+        def partial_full(args):
+            qq, kk, vv = args
+            o, inv_l = fwd_pair(qq, kk, vv, causal=False)
+            lsum = 1.0 / inv_l                      # exact: no row-max
+            return o.astype(jnp.float32) * lsum, lsum
+
+        def partial_diag(args):
+            qq, kk, vv = args
+            o, inv_l = fwd_pair(qq, kk, vv, causal=True)
+            lsum = 1.0 / inv_l
+            return o.astype(jnp.float32) * lsum, lsum
+
+        def partial_masked(args):
+            qq, _, _ = args
+            return (jnp.zeros((b, h, n_local, d), jnp.float32),
+                    jnp.zeros((b, h, n_local, 1), jnp.float32))
+
+        def body(s, carry):
+            o_acc, l_acc, k_cur, v_cur = carry
+            g = (me - s) % size
+            if causal:
+                o_p, l_p = jax.lax.switch(
+                    _case(me, g),
+                    [partial_full, partial_diag, partial_masked],
+                    (qn, k_cur, v_cur))
+            else:
+                o_p, l_p = partial_full((qn, k_cur, v_cur))
+            o_acc = o_acc + o_p
+            l_acc = l_acc + l_p
+            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+            return o_acc, l_acc, k_cur, v_cur
+
+        o0 = jnp.zeros((b, h, n_local, d), jnp.float32)
+        l0 = jnp.zeros((b, h, n_local, 1), jnp.float32)
+        o_acc, l_acc, _, _ = jax.lax.fori_loop(
+            0, size, body, (o0, l0, kn, v))
+
+        inv_l = 1.0 / jnp.maximum(l_acc, EPS)       # (b, h, n_local, 1)
+        o = (o_acc * inv_l).astype(qn.dtype)
+        return o, inv_l
+
+    @jax.custom_vjp
+    def ring(qn, kn, v):
+        o, _ = _ring_forward(qn, kn, v)
+        return o
+
+    def ring_fwd(qn, kn, v):
+        o, inv_l = _ring_forward(qn, kn, v)
+        return o, (qn, kn, v, o, inv_l)
+
+    def ring_bwd(res, do):
+        qn, kn, v, o, inv_l = res
+        size = jax.lax.axis_size(axis_name)
+        me = jax.lax.axis_index(axis_name)
+        perm = [(i, (i + 1) % size) for i in range(size)]
+
+        def grads_full(args):
+            qq, kk, vv = args
+            # the GLOBAL inv_l makes each pair's softmax partial exact,
+            # so the standard pairwise backward applies per rotation
+            dq, dk, dv, _ = bwd_pair(do, o, inv_l, qq, kk, vv,
+                                     causal=False)
+            return (dq.astype(jnp.float32), dk.astype(jnp.float32),
+                    dv.astype(jnp.float32))
+
+        def grads_diag(args):
+            qq, kk, vv = args
+            dq, dk, dv, _ = bwd_pair(do, o, inv_l, qq, kk, vv,
+                                     causal=True)
+            return (dq.astype(jnp.float32), dk.astype(jnp.float32),
+                    dv.astype(jnp.float32))
+
+        def grads_masked(args):
+            qq, kk, vv = args
+            return (jnp.zeros(qq.shape, jnp.float32),
+                    jnp.zeros(kk.shape, jnp.float32),
+                    jnp.zeros(vv.shape, jnp.float32))
+
+        def body(s, carry):
+            dq_acc, k_cur, v_cur, dk_acc, dv_acc = carry
+            g = (me - s) % size
+            if causal:
+                dq_p, dk_p, dv_p = jax.lax.switch(
+                    _case(me, g),
+                    [grads_full, grads_diag, grads_masked],
+                    (qn, k_cur, v_cur))
+            else:
+                dq_p, dk_p, dv_p = grads_full((qn, k_cur, v_cur))
+            dq_acc = dq_acc + dq_p
+            dk_acc = dk_acc + dk_p   # travels WITH its k shard
+            dv_acc = dv_acc + dv_p
+            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+            dk_acc = jax.lax.ppermute(dk_acc, axis_name, perm)
+            dv_acc = jax.lax.ppermute(dv_acc, axis_name, perm)
+            return dq_acc, k_cur, v_cur, dk_acc, dv_acc
+
+        dq0 = jnp.zeros(qn.shape, jnp.float32)
+        dk0 = jnp.zeros(kn.shape, jnp.float32)
+        dv0 = jnp.zeros(v.shape, jnp.float32)
+        dq, _, _, dk, dv = jax.lax.fori_loop(
+            0, size, body, (dq0, kn, v, dk0, dv0))
+        # after `size` rotations the accumulators are back at their owner
+        return (dq.astype(qn.dtype), dk.astype(kn.dtype),
+                dv.astype(v.dtype))
+
+    ring.defvjp(ring_fwd, ring_bwd)
+    return ring
 
 
 def ring_flash_cosine_sim_attention(
@@ -48,64 +191,14 @@ def ring_flash_cosine_sim_attention(
         interpret = jax.default_backend() != "tpu"
 
     spec = P(None, None, axis_name, None)
+    ring = _make_ring(axis_name, float(scale), bool(causal), bool(interpret))
 
     def inner(q, k, v):
         if l2norm_qk:
             qn, kn = l2norm_tensors(q, k, groups=groups)
         else:
             qn, kn = q, k
-        size = jax.lax.axis_size(axis_name)
-        me = jax.lax.axis_index(axis_name)
-        b, h, n_local, d = qn.shape
-
-        fwd = partial(
-            flash_attention_forward,
-            mask=None, bias=None, bias_batch_dim=False, scale=scale,
-            interpret=interpret,
-        )
-
-        def partial_full(args):
-            qq, kk, vv = args
-            o, inv_l = fwd(qq, kk, vv, causal=False)
-            lsum = 1.0 / inv_l                      # exact: no row-max
-            return o.astype(jnp.float32) * lsum, lsum
-
-        def partial_diag(args):
-            qq, kk, vv = args
-            o, inv_l = fwd(qq, kk, vv, causal=True)
-            lsum = 1.0 / inv_l
-            return o.astype(jnp.float32) * lsum, lsum
-
-        def partial_masked(args):
-            qq, _, _ = args
-            return (jnp.zeros((b, h, n_local, d), jnp.float32),
-                    jnp.zeros((b, h, n_local, 1), jnp.float32))
-
-        perm = [(i, (i + 1) % size) for i in range(size)]
-
-        def body(s, carry):
-            o_acc, l_acc, k_cur, v_cur = carry
-            # the shard currently held arrived from device (me - s) % size
-            g = (me - s) % size
-            if causal:
-                case = jnp.where(g < me, 0, jnp.where(g == me, 1, 2))
-                o_p, l_p = jax.lax.switch(
-                    case, [partial_full, partial_diag, partial_masked],
-                    (qn, k_cur, v_cur))
-            else:
-                o_p, l_p = partial_full((qn, k_cur, v_cur))
-            o_acc = o_acc + o_p
-            l_acc = l_acc + l_p
-            k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
-            v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
-            return o_acc, l_acc, k_cur, v_cur
-
-        o0 = jnp.zeros((b, h, n_local, d), jnp.float32)
-        l0 = jnp.zeros((b, h, n_local, 1), jnp.float32)
-        o_acc, l_acc, _, _ = jax.lax.fori_loop(
-            0, size, body, (o0, l0, kn, v))
-
-        return (o_acc / jnp.maximum(l_acc, EPS)).astype(q.dtype)
+        return ring(qn, kn, v)
 
     f = jax.shard_map(
         inner, mesh=mesh,

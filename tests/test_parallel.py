@@ -140,6 +140,32 @@ def test_ring_attention_matches_local(causal):
     assert float(jnp.abs(o_ring - o_local).max()) < 2e-5
 
 
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_attention_grads_match_local(causal):
+    from jax.sharding import Mesh
+    from flash_cosine_sim_attention_tpu.parallel.ring_attention import (
+        ring_flash_cosine_sim_attention,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    rng = np.random.default_rng(9)
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+               for _ in range(3))
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_flash_cosine_sim_attention(
+            q, k, v, mesh, causal=causal) ** 2)
+
+    def loss_local(q, k, v):
+        return jnp.sum(flash_cosine_sim_attention(
+            q, k, v, causal=causal) ** 2)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_local = jax.grad(loss_local, argnums=(0, 1, 2))(q, k, v)
+    for name, gr, gl in zip("dq dk dv".split(), g_ring, g_local):
+        diff = float(jnp.abs(gr - gl).max())
+        assert diff < 5e-5, f"{name} diff {diff}"
+
+
 def test_ring_attention_grouped_bf16():
     from jax.sharding import Mesh
     from flash_cosine_sim_attention_tpu.parallel.ring_attention import (
