@@ -200,7 +200,7 @@ def _dq_kernel(
 def _dkdv_kernel(
     *refs,
     scale, causal, seq_q, seq_k, block_q, block_k, has_mask, has_bias,
-    single_head_kv, heads, out_dtype, precision,
+    q_per_kv, out_dtype, precision,
 ):
     idx = 0
     q_ref = refs[idx]; idx += 1
@@ -224,8 +224,13 @@ def _dkdv_kernel(
     nq = pl.num_programs(3)
     seq_len_diff = seq_k - seq_q
 
-    is_first = (qi == 0) & ((hi == 0) if single_head_kv else True)
-    is_last = (qi == nq - 1) & ((hi == nh - 1) if single_head_kv else True)
+    # a K/V head's dk/dv accumulate across its whole query-head group
+    # (group size q_per_kv: 1 = MHA, h = single-head KV, between = GQA);
+    # group members are adjacent on the (sequential) heads grid axis, so
+    # the VMEM accumulator legally persists across them
+    is_first = (qi == 0) & ((hi % q_per_kv == 0) if q_per_kv > 1 else True)
+    is_last = (qi == nq - 1) & (
+        (hi % q_per_kv == q_per_kv - 1) if q_per_kv > 1 else True)
 
     @pl.when(is_first)
     def _init():
@@ -420,7 +425,8 @@ def flash_attention_backward(
     b, h, seq_q, d = q.shape
     kvh = k.shape[1]
     seq_k = k.shape[2]
-    single_head_kv = kvh == 1 and h > 1
+    assert h % kvh == 0, (h, kvh)
+    q_per_kv = h // kvh
 
     bq_d, bk_d = pick_block_sizes(q.dtype, d, seq_q, seq_k)
     block_q = block_q or bq_d
@@ -445,7 +451,8 @@ def flash_attention_backward(
     precision = (jax.lax.Precision.HIGHEST
                  if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 
-    kv_head = (lambda hi: hi) if kvh > 1 else (lambda hi: 0)
+    kv_head = ((lambda hi: hi) if kvh == h
+               else (lambda hi: hi // q_per_kv))
 
     # Causal DMA elision (see fwd_kernel.py): clamp block indices at the
     # causal boundary so compute-skipped tiles re-use the previously
@@ -552,7 +559,7 @@ def flash_attention_backward(
         functools.partial(
             _dkdv_kernel, scale=float(scale), causal=causal, seq_q=seq_q,
             seq_k=seq_k, block_q=block_q, block_k=block_k, has_mask=has_mask,
-            has_bias=has_bias, single_head_kv=(kvh == 1), heads=h,
+            has_bias=has_bias, q_per_kv=q_per_kv,
             out_dtype=k.dtype, precision=precision,
         ),
         grid=(b, nk, h, nq),
@@ -592,7 +599,8 @@ def _bias_grad(
     kvh = k.shape[1]
     seq_k = k.shape[2]
     has_mask = mask_f is not None
-    kv_head = (lambda hi: hi) if kvh > 1 else (lambda hi: 0)
+    kv_head = ((lambda hi: hi) if kvh == h
+               else (lambda hi: hi // (h // kvh)))
     precision = (jax.lax.Precision.HIGHEST
                  if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
 

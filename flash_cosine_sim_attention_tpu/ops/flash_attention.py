@@ -117,7 +117,9 @@ def flash_cosine_sim_attention(
 
     Args:
       q: (b, h, i, d) queries, or (b*h, i, d) merged batch-head.
-      k, v: (b, h, j, d), or (b, j, d) for single-headed KV.
+      k, v: (b, kvh, j, d) with kvh dividing h (kvh=h: MHA; kvh=1 =
+        (b, j, d): single-headed/PaLM KV; in between: grouped-query),
+        or (b, j, d) for single-headed KV.
       mask: (b, j) boolean key mask (True = attend); exclusive with causal.
       attn_bias: (b, i, j) if ``attn_bias_batch_dim`` else (h, i, j);
         differentiable.

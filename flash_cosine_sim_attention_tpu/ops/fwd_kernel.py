@@ -204,7 +204,8 @@ def flash_attention_forward(
     kvh = k.shape[1]
     seq_k = k.shape[2]
     assert v.shape == k.shape
-    assert kvh in (1, h)
+    assert h % kvh == 0, (h, kvh)  # 1 (MQA) ... h (MHA), anything between (GQA)
+    q_per_kv = h // kvh
 
     bq_d, bk_d = pick_block_sizes(q.dtype, d, seq_q, seq_k)
     block_q = block_q or bq_d
@@ -212,7 +213,7 @@ def flash_attention_forward(
     nq = pl.cdiv(seq_q, block_q)
     nk = pl.cdiv(seq_k, block_k)
 
-    kv_head = (lambda hi: hi) if kvh > 1 else (lambda hi: 0)
+    kv_head = (lambda hi: hi) if kvh == h else (lambda hi: hi // q_per_kv)
 
     # Causal DMA elision: tiles strictly above the diagonal are compute-
     # skipped (pl.when in the kernel), but their K/V blocks would still be

@@ -149,6 +149,13 @@ def plain_cosine_sim_attention(
         q, k = l2norm_tensors(q, k, groups=groups)
 
     dtype = q.dtype
+    # grouped-query: repeat each KV head over its query-head group (the
+    # fused kernels index instead of repeating; exactness is identical)
+    kvh = k.shape[1]
+    h = q.shape[1]
+    if 1 < kvh < h:
+        k = jnp.repeat(k, h // kvh, axis=1)
+        v = jnp.repeat(v, h // kvh, axis=1)
     # (b, h, i, d) @ (b, {h|1}, d, j) -> (b, h, i, j); kv-head dim broadcasts
     sim = jnp.matmul(
         q.astype(jnp.float32), k.astype(jnp.float32).swapaxes(-1, -2),
@@ -218,6 +225,10 @@ def streaming_cosine_sim_attention(
     dtype = q.dtype
     b, h, i_len, d = q.shape
     kvh = k.shape[1]
+    if 1 < kvh < h:  # grouped-query: repeat KV heads over the group
+        k = jnp.repeat(k, h // kvh, axis=1)
+        v = jnp.repeat(v, h // kvh, axis=1)
+        kvh = h
     j_len = k.shape[-2]
     seq_len_diff = j_len - i_len
 

@@ -143,6 +143,17 @@ def test_interior_fast_path(causal, use_bias):
           block_q=128, block_k=128)
 
 
+@pytest.mark.parametrize("kvh", [2, 4])
+@pytest.mark.parametrize("causal", [False, True])
+def test_grouped_query_attention(kvh, causal):
+    # GQA: 8 query heads over kvh KV heads (between the reference's two
+    # supported extremes kvh=1 and kvh=h) — output AND grad parity
+    rng = np.random.default_rng(12)
+    q, k, v, _, _ = make_inputs(
+        rng, 2, 8, kvh, 130, 130, 64, False, False, False, jnp.float32)
+    check(q, k, v, None, None, causal=causal, bbd=False)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_qk_int8_forward(causal):
     # int8-MXU QK path: fixed-scale-127 quantization of the normalized
