@@ -125,8 +125,8 @@ def _transformer_pass(model, params, x, attn_fn):
 
 
 def prefill(model: CosineSimCausalTransformer, params, state: DecodeState,
-            tokens: jax.Array, true_len: Optional[jax.Array] = None
-            ) -> Tuple[jax.Array, DecodeState]:
+            tokens: jax.Array, true_len: Optional[jax.Array] = None,
+            mesh=None) -> Tuple[jax.Array, DecodeState]:
     """Run the prompt through full fused attention, filling the caches.
 
     Returns (logits for the last REAL prompt token, new state).
@@ -134,6 +134,7 @@ def prefill(model: CosineSimCausalTransformer, params, state: DecodeState,
     prompts: causal attention never attends positions to the right, so the
     logits/caches for rows < true_len are exact; the caller masks the rest
     via the cache length.  Currently supports prefill from an empty cache.
+    ``mesh`` routes attention through the head-sharded path (serving TP).
     """
     from ..ops import flash_cosine_sim_attention
 
@@ -141,6 +142,11 @@ def prefill(model: CosineSimCausalTransformer, params, state: DecodeState,
 
     def attn(layer, q, k, v):
         caches[layer] = append(caches[layer], k, v)
+        if mesh is not None:
+            from ..parallel import head_sharded_flash_attention
+            return head_sharded_flash_attention(
+                q, k, v, mesh, causal=True, scale=model.attn_scale,
+                l2norm_qk=False)
         return flash_cosine_sim_attention(
             q, k, v, causal=True, scale=model.attn_scale,
             l2norm_qk=False)
@@ -159,13 +165,21 @@ def prefill(model: CosineSimCausalTransformer, params, state: DecodeState,
 
 
 def decode_step(model: CosineSimCausalTransformer, params,
-                state: DecodeState, token: jax.Array
+                state: DecodeState, token: jax.Array, mesh=None
                 ) -> Tuple[jax.Array, DecodeState]:
-    """One decode step: (b,) tokens in, (b, vocab) logits out."""
+    """One decode step: (b,) tokens in, (b, vocab) logits out.
+    ``mesh`` routes attention through the head-sharded path (serving TP:
+    the KV cache shards batch->data, kv-heads->model)."""
     caches = list(state.caches)
 
     def attn(layer, q, k, v):
         caches[layer] = append(caches[layer], k, v)
+        if mesh is not None:
+            from ..parallel import head_sharded_decode_attention
+            o = head_sharded_decode_attention(
+                q[:, :, 0], caches[layer], mesh, scale=model.attn_scale,
+                l2norm_qk=False)
+            return o[:, :, None, :]
         o = quantized_decode_attention(
             q, caches[layer], scale=model.attn_scale, l2norm_qk=False)
         return o

@@ -54,9 +54,18 @@ class InferenceEngine:
         prompt_buckets: Tuple[int, ...] = (128, 256, 512, 1024),
         seed: int = 0,
         kv_dtype=None,
+        mesh=None,
     ):
+        """``mesh`` enables serving tensor-parallelism: params shard by the
+        megatron TP rules, the KV caches shard batch->data / kv-heads->
+        model, and attention routes through the head-sharded paths.  Use a
+        (data=1, model=N) mesh — prefill runs one request at a time."""
         kv_dtype = kv_dtype if kv_dtype is not None else jnp.int8
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_params
+            params = shard_params(params, mesh)
         self.params = params
         self.num_slots = num_slots
         self.capacity = capacity
@@ -66,6 +75,11 @@ class InferenceEngine:
         self.kv_dtype = kv_dtype
         self.state = init_decode_state(model, num_slots, capacity,
                                        kv_dtype=kv_dtype)
+        if mesh is not None:
+            from ..parallel import shard_cache
+            self.state = DecodeState(
+                tuple(shard_cache(c, mesh) for c in self.state.caches),
+                self.state.pos)
         self.active = np.zeros(num_slots, bool)
         self.last_token = np.zeros(num_slots, np.int32)
         self._rng = jax.random.PRNGKey(seed)
@@ -78,7 +92,8 @@ class InferenceEngine:
 
         @jax.jit
         def _decode_and_sample(params, state, tokens, rng):
-            logits, state = decode_step(self.model, params, state, tokens)
+            logits, state = decode_step(self.model, params, state, tokens,
+                                        mesh=self.mesh)
             return _sample(rng, logits), state
 
         @jax.jit
@@ -88,7 +103,7 @@ class InferenceEngine:
             st = init_decode_state(self.model, 1, self.capacity,
                                    kv_dtype=self.kv_dtype)
             logits_last, st = prefill(self.model, params, st, tokens,
-                                      true_len=true_len)
+                                      true_len=true_len, mesh=self.mesh)
             tok = _sample(rng, logits_last)
             # fix up lengths/pos to the true (unpadded) values
             caches = tuple(c._replace(length=true_len) for c in st.caches)
