@@ -155,6 +155,16 @@ class InferenceEngine:
         """One decode step for every active slot -> {slot: token}."""
         if not self.active.any():
             return {}
+        # a slot at capacity must not decode further: the append would
+        # clamp its write offset (dynamic_update_slice semantics) and
+        # silently overwrite the newest cache entry
+        pos = np.asarray(self.state.pos)
+        over = [s for s in range(self.num_slots)
+                if self.active[s] and pos[s] + 1 > self.capacity]
+        if over:
+            raise RuntimeError(
+                f"slots {over} reached cache capacity {self.capacity}; "
+                f"finish() them before stepping")
         self._rng, sub = jax.random.split(self._rng)
         toks, self.state = self._decode_and_sample(
             self.params, self.state, jnp.asarray(self.last_token), sub)

@@ -106,6 +106,19 @@ def test_engine_slot_exhaustion(setup):
         eng.add_request(np.arange(4))
 
 
+def test_capacity_guard(setup):
+    """A slot at cache capacity must refuse to decode (the append would
+    silently clamp-overwrite the newest entry otherwise)."""
+    model, params = setup
+    eng = InferenceEngine(model, params, num_slots=1, capacity=36,
+                          prompt_buckets=(32,), seed=2)
+    eng.add_request(np.arange(30))
+    for _ in range(6):  # 30 prefill + 6 decode = 36 = capacity
+        eng.step()
+    with pytest.raises(RuntimeError, match="capacity"):
+        eng.step()
+
+
 def test_prompt_too_long_rejected(setup):
     model, params = setup
     eng = InferenceEngine(model, params, num_slots=2, capacity=256,
