@@ -39,9 +39,9 @@ def pick_block_sizes(dtype, head_dim: int, seq_q: int, seq_k: int):
     if dtype == jnp.float32:
         block_q, block_k = 512, 512
     else:  # bf16 / f16: smaller element size, bigger tiles
-        block_q, block_k = 1024, 512
-    if head_dim > 64:
-        block_q = min(block_q, 512)
+        # d<=64: (1024, 512); d=128 swept best at (1024, 1024) — the
+        # deeper contraction amortizes more K/V traffic per tile
+        block_q, block_k = 1024, (1024 if head_dim > 64 else 512)
 
     # clamp to the (128-aligned) sequence lengths so tiny inputs get a
     # single masked block instead of a mostly-empty large one
