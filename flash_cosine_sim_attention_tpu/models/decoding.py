@@ -189,6 +189,76 @@ def decode_step(model: CosineSimCausalTransformer, params,
     return logits[:, 0], DecodeState(tuple(caches), state.pos + 1)
 
 
+def prefill_continue(model: CosineSimCausalTransformer, params,
+                     state: DecodeState, slot, tokens: jax.Array,
+                     true_len=None) -> Tuple[jax.Array, DecodeState]:
+    """Continuation prefill (multi-turn): run a NEW chunk of tokens for a
+    slot that already has cached history, processing the whole chunk in
+    one pass instead of token-by-token decode.
+
+    No-row-max merging at work: the chunk attends (a) the quantized
+    history with a key mask, non-causal, and (b) itself, causal — and the
+    two partial attentions merge by summing exp-weights and row-sums
+    (exactly the ring-attention merge).  Inference-only (no VJP).
+
+    ``tokens``: (1, t) — optionally right-padded with ``true_len``.
+    Returns (last real token's logits (1, vocab), new state).
+    """
+    from ..ops.fwd_kernel import flash_attention_forward
+    from ..quant import dequantize_k, dequantize_v
+
+    caches = list(state.caches)
+    pos0 = jax.lax.dynamic_slice_in_dim(state.pos, slot, 1, axis=0)  # (1,)
+    n_new = (jnp.full((1,), tokens.shape[1], jnp.int32)
+             if true_len is None else true_len)
+
+    def attn(layer, q, k, v):
+        c = caches[layer]
+        view = QuantKVCache(
+            *(jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0)
+              for a in (c.k8, c.v8, c.v_scale, c.length)))
+        hist_len = view.length                                  # (1,)
+        # (b) chunk vs itself: standard causal
+        o_new, inv_new = flash_attention_forward(
+            q, k, v, None, None, bias_batch_dim=False,
+            scale=model.attn_scale, causal=True,
+            interpret=jax.default_backend() != "tpu")
+        # (a) chunk vs quantized history: key-masked, non-causal
+        k_hist = dequantize_k(view.k8, q.dtype)                 # (1,kvh,cap,d)
+        v_hist = dequantize_v(view.v8, view.v_scale, q.dtype)
+        keep = (jnp.arange(view.k8.shape[2])[None, :]
+                < hist_len[:, None])                            # (1, cap)
+        o_hist, inv_hist = flash_attention_forward(
+            q, k_hist, v_hist, keep, None, bias_batch_dim=False,
+            scale=model.attn_scale, causal=False,
+            interpret=jax.default_backend() != "tpu")
+        # merge partials: plain sums (no-row-max)
+        l_new = 1.0 / inv_new
+        l_hist = 1.0 / inv_hist
+        l_tot = jnp.maximum(l_new + l_hist, 1e-10)
+        o = (o_new.astype(jnp.float32) * l_new
+             + o_hist.astype(jnp.float32) * l_hist) / l_tot
+        # append the chunk to the slot's cache; right-pads are written
+        # but excluded by the corrected length (next append overwrites)
+        view = append(view, k, v)
+        view = view._replace(length=hist_len + n_new)
+        caches[layer] = QuantKVCache(
+            *(jax.lax.dynamic_update_slice_in_dim(full, part, slot, axis=0)
+              for full, part in zip(c, view)))
+        return o.astype(q.dtype)
+
+    x = _embed(model, params, tokens, pos0)
+    logits = _transformer_pass(model, params, x, attn)
+    if true_len is None:
+        last = logits[:, -1]
+    else:
+        idx = (true_len - 1)[:, None, None]
+        last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+    pos = jax.lax.dynamic_update_slice_in_dim(
+        state.pos, pos0 + n_new, slot, axis=0)
+    return last, DecodeState(tuple(caches), pos)
+
+
 # ---------------------------------------------------------------------------
 # paged variants: per-layer page POOLS shared by all slots (quant/paged.py)
 # ---------------------------------------------------------------------------

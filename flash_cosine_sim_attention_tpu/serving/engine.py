@@ -31,6 +31,7 @@ from ..models.decoding import (
     decode_step,
     init_decode_state,
     prefill,
+    prefill_continue,
 )
 from ..models.transformer import top_k_filter
 
@@ -123,9 +124,16 @@ class InferenceEngine:
             last_tokens = last_tokens.at[slot].set(tok[0])
             return DecodeState(caches, pos), last_tokens
 
+        @jax.jit
+        def _continue(params, state, slot, tokens, true_len, rng):
+            logits, state = prefill_continue(
+                self.model, params, state, slot, tokens, true_len=true_len)
+            return _sample(rng, logits), state
+
         self._decode_and_sample = _decode_and_sample
         self._prefill_one = _prefill_one
         self._insert = _insert
+        self._continue = _continue
 
     # ------------------------------------------------------------------
     def free_slots(self) -> List[int]:
@@ -150,6 +158,30 @@ class InferenceEngine:
         self.last_token = np.asarray(last)
         self.active[slot] = True
         return slot
+
+    def continue_request(self, slot: int, new_tokens: np.ndarray) -> int:
+        """Multi-turn: extend an ACTIVE slot's context with a new chunk of
+        prompt tokens in one prefill pass (chunk attends the quantized
+        history + itself; partials merge by the no-row-max sum).  Returns
+        the token sampled after the chunk."""
+        if not self.active[slot]:
+            raise RuntimeError(f"slot {slot} is not active")
+        n = len(new_tokens)
+        width = _bucket(n, self.buckets)
+        if int(self.state.pos[slot]) + n > self.capacity:
+            raise RuntimeError(
+                f"slot {slot}: continuation would exceed capacity "
+                f"{self.capacity}")
+        padded = np.zeros((1, width), np.int32)
+        padded[0, :n] = new_tokens
+        self._rng, sub = jax.random.split(self._rng)
+        tok, self.state = self._continue(
+            self.params, self.state, jnp.int32(slot), jnp.asarray(padded),
+            jnp.asarray([n], jnp.int32), sub)
+        # np.asarray of a jax array is read-only; copy before item-assign
+        self.last_token = np.array(self.last_token)
+        self.last_token[slot] = int(tok[0])
+        return int(tok[0])
 
     def step(self) -> Dict[int, int]:
         """One decode step for every active slot -> {slot: token}."""

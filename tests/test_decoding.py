@@ -98,3 +98,71 @@ def test_greedy_cached_matches_uncached(model_and_params):
     full_cont = toks_full[0, 8:].tolist()
     matches = sum(a == b for a, b in zip(full_cont, toks_cached))
     assert matches >= 6, (full_cont, toks_cached)
+
+
+# ---------------------------------------------------------------------------
+# continuation prefill (multi-turn)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def _cont_setup():
+    model = CosineSimCausalTransformer(
+        num_tokens=64, dim=64, depth=2, max_seq_len=128, heads=4,
+        dim_head=16, pre_norm=True, attn_scale=1.0, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jax.random.randint(rng, (1, 16), 0, 64))
+    return model, params
+
+
+@pytest.mark.parametrize("pad_to", [None, 48])
+def test_prefill_continue_matches_full_prefill(_cont_setup, pad_to):
+    """Prefilling [A] then continuing with [B] must match prefilling
+    [A;B] from scratch, up to the int8 quantization of A's cached K/V."""
+    from flash_cosine_sim_attention_tpu.models.decoding import (
+        prefill_continue,
+    )
+    model, params = _cont_setup
+    rng = jax.random.PRNGKey(1)
+    a = jax.random.randint(rng, (1, 37), 0, 64)
+    b = jax.random.randint(jax.random.PRNGKey(2), (1, 23), 0, 64)
+
+    st_full = init_decode_state(model, 1, 128)
+    full, st_full = prefill(model, params, st_full,
+                            jnp.concatenate([a, b], axis=1))
+
+    # 2-slot state, both prefilled with A (prefill is whole-batch);
+    # then ONLY slot 0 continues with B
+    st = init_decode_state(model, 2, 128)
+    _, st = prefill(model, params, st, jnp.tile(a, (2, 1)))
+    if pad_to is None:
+        chunk, tl = b, None
+    else:
+        chunk = jnp.zeros((1, pad_to), jnp.int32).at[:, :23].set(b)
+        tl = jnp.asarray([23], jnp.int32)
+    cont, st = prefill_continue(model, params, st, jnp.int32(0), chunk,
+                                true_len=tl)
+
+    # tolerance: the continuation reads A through the int8 cache
+    assert float(jnp.abs(full - cont).max()) < DELTA_LOGITS
+    assert int(st.pos[0]) == 60
+    assert int(st.caches[0].length[0]) == 60
+    # the slot that did NOT continue is untouched
+    assert int(st.caches[0].length[1]) == 37
+
+
+def test_engine_continue_request(_cont_setup):
+    from flash_cosine_sim_attention_tpu.serving import InferenceEngine
+    model, params = _cont_setup
+    eng = InferenceEngine(model, params, num_slots=2, capacity=128,
+                          prompt_buckets=(32, 64), temperature=1e-4,
+                          seed=9)
+    s = eng.add_request(np.arange(10) % 64)
+    for _ in range(3):
+        eng.step()
+    pos_before = int(eng.state.pos[s])
+    tok = eng.continue_request(s, (np.arange(12) * 5) % 64)
+    assert 0 <= tok < 64
+    assert int(eng.state.pos[s]) == pos_before + 12
+    nxt = eng.step()  # decoding resumes after the continuation
+    assert s in nxt
