@@ -41,16 +41,20 @@ def _use_interpret() -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(scale, causal, bias_batch_dim, block_q, block_k, interpret,
-                qk_int8=False):
+                qk_quant=None):
     """Build the custom-vjp fused op for one static configuration.
 
-    ``qk_int8`` selects the quantized-QK forward: normalized Q/K are
-    quantized to int8 at the fixed scale 127 (exact for [-1, 1] values)
-    so QK^T runs on the int8 MXU path (2x bf16 throughput on v5e); the
-    1/127^2 dequant folds into the kernel's compile-time logit scale.
-    The backward is straight-through: the standard Pallas backward runs
-    on the DEQUANTIZED q/k, so the op is usable for quantization-aware
-    training as well as inference prefill.
+    ``qk_quant`` selects a quantized-QK forward:
+      * ``"int8"``: normalized Q/K quantized at the fixed scale 127
+        (exact range fit for [-1, 1] values) so QK^T runs on the int8
+        MXU path (2x bf16 throughput on v5e); the 1/127^2 dequant folds
+        into the kernel's compile-time logit scale.
+      * ``"fp8"``: Q/K rounded through e4m3.  v5e has no native fp8 MXU,
+        so this is an ACCURACY knob (fp8 numerics at bf16 speed), not a
+        speedup — useful for validating fp8 deployments of the cache.
+    Either way the backward is straight-through: the standard Pallas
+    backward runs on the (de)quantized q/k, so the op is usable for
+    quantization-aware training as well as inference prefill.
     """
 
     kw = dict(
@@ -62,7 +66,7 @@ def _make_fused(scale, causal, bias_batch_dim, block_q, block_k, interpret,
         interpret=interpret,
     )
 
-    if qk_int8:
+    if qk_quant == "int8":
         def _quant(t):
             return jnp.round(
                 jnp.clip(t.astype(jnp.float32) * 127.0, -127, 127)
@@ -72,7 +76,14 @@ def _make_fused(scale, causal, bias_batch_dim, block_q, block_k, interpret,
             return flash_attention_forward(
                 _quant(q), _quant(k), v, mask, bias,
                 s_dequant=1.0 / (127.0 * 127.0), **kw)
+    elif qk_quant == "fp8":
+        def _fwd(q, k, v, mask, bias):
+            q8 = q.astype(jnp.float8_e4m3fn).astype(q.dtype)
+            k8 = k.astype(jnp.float8_e4m3fn).astype(k.dtype)
+            return flash_attention_forward(q8, k8, v, mask, bias, **kw)
     else:
+        assert qk_quant is None, qk_quant
+
         def _fwd(q, k, v, mask, bias):
             return flash_attention_forward(q, k, v, mask, bias, **kw)
 
@@ -109,6 +120,7 @@ def flash_cosine_sim_attention(
     attn_bias_batch_dim: bool = False,
     *,
     qk_int8: bool = False,
+    qk_fp8: bool = False,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -133,6 +145,8 @@ def flash_cosine_sim_attention(
       qk_int8: run QK^T on the int8 MXU path (fixed scale 127 on the
         normalized q/k — exact range fit for bounded inputs; ~1e-2 output
         error).  Forward-quantized, straight-through backward (QAT-ready).
+      qk_fp8: round Q/K through e4m3 before QK^T — fp8 numerics at bf16
+        speed (v5e has no native fp8 MXU); an accuracy-validation knob.
       block_q/block_k: kernel tile-size override (default: tuned table).
       interpret: force Pallas interpret mode (default: auto off-TPU).
 
@@ -161,9 +175,11 @@ def flash_cosine_sim_attention(
     if interpret is None:
         interpret = _use_interpret()
 
+    assert not (qk_int8 and qk_fp8)
+    qk_quant = "int8" if qk_int8 else ("fp8" if qk_fp8 else None)
     fused = _make_fused(
         float(scale), bool(causal), bool(bias_batch_dim),
-        block_q, block_k, bool(interpret), bool(qk_int8),
+        block_q, block_k, bool(interpret), qk_quant,
     )
     o = fused(q4, k4, v4, mask, attn_bias)
 

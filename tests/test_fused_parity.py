@@ -154,6 +154,20 @@ def test_grouped_query_attention(kvh, causal):
     check(q, k, v, None, None, causal=causal, bbd=False)
 
 
+def test_qk_fp8_forward():
+    # fp8-rounded QK: e4m3 numerics knob; coarser than int8 near |x|=1
+    rng = np.random.default_rng(13)
+    q, k, v, _, _ = make_inputs(
+        rng, 2, 4, 4, 192, 192, 64, False, False, False, jnp.float32)
+    o8 = flash_cosine_sim_attention(q, k, v, causal=True, qk_fp8=True)
+    of = flash_cosine_sim_attention(q, k, v, causal=True)
+    assert not bool(jnp.isnan(o8).any())
+    assert float(jnp.abs(o8 - of).max()) < 3e-1  # e4m3 ~2^-4 rel error
+    g = jax.grad(lambda q: jnp.sum(flash_cosine_sim_attention(
+        q, k, v, causal=True, qk_fp8=True) ** 2))(q)
+    assert bool(jnp.isfinite(g).all())
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_qk_int8_forward(causal):
     # int8-MXU QK path: fixed-scale-127 quantization of the normalized
