@@ -40,3 +40,17 @@ def test_debug_report():
     assert rep["fused_finite"] and rep["oracle_finite"]
     assert rep["max_abs_diff"] < 1e-4
     assert rep["shape"] == (1, 2, 64, 64)
+
+
+def test_benchmark_utility_smoke():
+    """Slope-timing harness returns sane values on CPU and passes all
+    operands as jit args (no constant capture)."""
+    from flash_cosine_sim_attention_tpu.utils import benchmark
+
+    x = jnp.ones((128, 128), jnp.float32)
+    w = jnp.ones((128, 128), jnp.float32)
+    t_fwd = benchmark(lambda x, w: x @ w, x, w, forwards=True, num_times=4)
+    assert t_fwd >= 0.0
+    t_fb = benchmark(lambda x, w: x @ w, x, w, forwards=True,
+                     backwards=True, num_times=4, grad_argnums=(0,))
+    assert t_fb >= 0.0

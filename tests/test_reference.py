@@ -114,3 +114,15 @@ def test_plain_matches_upstream_torch(causal, mask, bias, single_head_kv):
         causal=causal,
     ).numpy()
     assert np.abs(np.asarray(ours) - theirs).max() < 1e-5
+
+
+def test_streaming_gqa_matches_plain():
+    # grouped-query through the streaming (CPU-path) oracle
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.standard_normal((2, 8, 100, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 2, 100, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 2, 100, 32)), jnp.float32)
+    o_s = streaming_cosine_sim_attention(q, k, v, causal=True,
+                                         col_tile_size=64)
+    o_p = plain_cosine_sim_attention(q, k, v, causal=True)
+    assert float(jnp.abs(o_s - o_p).max()) < 1e-5
