@@ -79,7 +79,7 @@ def _recompute_p_and_ds(
     # dQ/dK use ds*scale while dB uses ds as-is (the reference accumulates
     # db BEFORE the ds *= scale step, cu:1574-1582)
     ds = p * (dp - delta)
-    if keep is not True:  # interior fast path passes literal True: no mask
+    if keep is not None:  # interior fast path w/o key mask passes None
         p = jnp.where(keep, p, 0.0)
         ds = jnp.where(keep, ds, 0.0)
     return p, ds
@@ -139,6 +139,7 @@ def _dq_kernel(
             precision=precision,
         )  # (bq, bk)
 
+        keep = None
         if masked:
             row_g = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -149,10 +150,9 @@ def _dq_kernel(
             keep = (row_g < seq_q) & (col_g < seq_k)
             if causal:
                 keep &= col_g <= (row_g + seq_len_diff)
-            if has_mask:
-                keep &= mask_ref[0] > 0
-        else:
-            keep = True
+        if has_mask:
+            km = mask_ref[0] > 0
+            keep = km if keep is None else keep & km
 
         inv_l = invl_ref[0, 0]   # (block_q, 1)
         delta = delta_ref[0, 0]  # (block_q, 1)
@@ -170,19 +170,17 @@ def _dq_kernel(
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    # interior fast path (see fwd_kernel.py): no epilogue on tiles that are
-    # fully in bounds and fully below the causal diagonal
+    # interior fast path (see fwd_kernel.py): bounds/causal epilogue
+    # skipped on tiles fully in bounds and fully below the diagonal; the
+    # dynamic key mask still applies everywhere
     interior = ((qi + 1) * block_q <= seq_q) & ((ki + 1) * block_k <= seq_k)
     if causal:
         interior &= (ki + 1) * block_k - 1 <= qi * block_q + seq_len_diff
-    if has_mask:
-        interior = False
 
-    if has_mask or (seq_q % block_q == 0 and seq_k % block_k == 0
-                    and not causal):
+    if seq_q % block_q == 0 and seq_k % block_k == 0 and not causal:
         @pl.when(run)
         def _compute():
-            _tile(masked=bool(has_mask))
+            _tile(masked=False)
     else:
         @pl.when(run & interior)
         def _fast():
@@ -267,6 +265,7 @@ def _dkdv_kernel(
             precision=precision,
         )  # (bk, bq)
 
+        keep = None
         if masked:
             krow_g = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_k, block_q), 0
@@ -277,10 +276,9 @@ def _dkdv_kernel(
             keep = (krow_g < seq_k) & (qcol_g < seq_q)
             if causal:
                 keep &= krow_g <= (qcol_g + seq_len_diff)
-            if has_mask:
-                keep &= mask_ref[0, 0] > 0  # (block_k, 1) broadcasts over Q
-        else:
-            keep = True
+        if has_mask:
+            km = mask_ref[0, 0] > 0  # (block_k, 1) broadcasts over Q cols
+            keep = km if keep is None else keep & km
 
         inv_l = invl_ref[0, 0]   # (1, bq), broadcasts over K rows
         delta = delta_ref[0, 0]  # (1, bq)
@@ -303,18 +301,16 @@ def _dkdv_kernel(
         )
 
     # interior fast path, transposed: tile fully in bounds and every K row
-    # of the tile visible to every Q column -> last K row <= first Q col
+    # of the tile visible to every Q column -> last K row <= first Q col;
+    # the dynamic key mask still applies everywhere
     interior = ((qi + 1) * block_q <= seq_q) & ((ki + 1) * block_k <= seq_k)
     if causal:
         interior &= (ki + 1) * block_k - 1 <= qi * block_q + seq_len_diff
-    if has_mask:
-        interior = False
 
-    if has_mask or (seq_q % block_q == 0 and seq_k % block_k == 0
-                    and not causal):
+    if seq_q % block_q == 0 and seq_k % block_k == 0 and not causal:
         @pl.when(run)
         def _compute():
-            _tile(masked=bool(has_mask))
+            _tile(masked=False)
     else:
         @pl.when(run & interior)
         def _fast():

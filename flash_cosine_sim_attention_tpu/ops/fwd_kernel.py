@@ -83,7 +83,8 @@ def _fwd_kernel(
 
     def _tile(masked: bool):
         """One tile of the streaming attention; ``masked`` selects whether
-        the bounds/causal/key-mask epilogue is applied."""
+        the bounds/causal epilogue is applied (the dynamic key mask, when
+        present, is applied on EVERY path — interior tiles included)."""
         q = q_ref[0, 0]  # (block_q, d)
         k = k_ref[0, 0]  # (block_k, d)
         v = v_ref[0, 0]  # (block_k, d)
@@ -122,8 +123,9 @@ def _fwd_kernel(
             logits2 = logits2 + bias_ref[0].astype(jnp.float32) * log2e
         e = jnp.exp2(logits2)
 
+        keep = None
         if masked:
-            # fused masking: bounds + causal + key mask -> zero weight
+            # fused masking: bounds + causal -> zero weight
             row_g = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
@@ -133,8 +135,10 @@ def _fwd_kernel(
             keep = (row_g < seq_q) & (col_g < seq_k)
             if causal:
                 keep &= col_g <= (row_g + seq_len_diff)
-            if has_mask:
-                keep &= mask_ref[0] > 0  # (1, block_k) broadcasts over rows
+        if has_mask:
+            km = mask_ref[0] > 0  # (1, block_k) broadcasts over rows
+            keep = km if keep is None else keep & km
+        if keep is not None:
             e = jnp.where(keep, e, 0.0)
 
         lsum_ref[...] += jnp.sum(e, axis=-1, keepdims=True)
@@ -144,24 +148,22 @@ def _fwd_kernel(
         )
 
     # Interior fast path: tiles fully in bounds and fully below the causal
-    # diagonal need no epilogue at all — the per-element iota/compare/where
-    # chain is pure VPU cost on a tile the MXU already finished, and for
-    # long sequences interior tiles are the vast majority.  Key-masked
-    # runs always take the masked path (mask contents are dynamic).
+    # diagonal skip the bounds/causal epilogue — the per-element iota/
+    # compare/where chain is pure VPU cost on a tile the MXU already
+    # finished, and for long sequences interior tiles are the vast
+    # majority.  The dynamic key mask (if any) still applies on the fast
+    # path, but costs one compare+where instead of five ops.
     interior = ((qi + 1) * block_q <= seq_q) & ((ki + 1) * block_k <= seq_k)
     if causal:
         # whole tile attendable: the tile's last column is visible to its
         # FIRST query row
         interior &= (ki + 1) * block_k - 1 <= qi * block_q + seq_len_diff
-    if has_mask:
-        interior = False
 
-    if has_mask or (seq_q % block_q == 0 and seq_k % block_k == 0
-                    and not causal):
-        # statically known: every tile is interior (or every tile masked)
+    if seq_q % block_q == 0 and seq_k % block_k == 0 and not causal:
+        # statically known: every tile is in bounds
         @pl.when(run)
         def _compute():
-            _tile(masked=bool(has_mask))
+            _tile(masked=False)
     else:
         @pl.when(run & interior)
         def _fast():
