@@ -25,6 +25,12 @@ benchmark_backwards:
 benchmark_masked:
 	python benchmark.py --mask-prob 0.25
 
+benchmark_decode:
+	PYTHONPATH=.:$$PYTHONPATH python tools/bench_decode.py
+
+benchmark_scaling:
+	python tools/bench_scaling.py
+
 bench:
 	python bench.py
 
@@ -36,4 +42,5 @@ clean:
 	find . -name __pycache__ -type d -exec rm -rf {} +
 
 .PHONY: install test native benchmark benchmark_causal benchmark_forwards \
-        benchmark_backwards benchmark_masked bench train clean
+        benchmark_backwards benchmark_masked benchmark_decode \
+        benchmark_scaling bench train clean
