@@ -185,12 +185,18 @@ def ring_flash_cosine_sim_attention(
     groups: int = 1,
     causal: bool = True,
     l2norm_qk: bool = True,
+    model_axis: Optional[str] = None,
+    data_axis: Optional[str] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
+    """Sequence-parallel attention over ``axis_name``; composes with head
+    TP (``model_axis``) and batch DP (``data_axis``) on a multi-axis mesh
+    — heads and batch are embarrassingly parallel, so each (data, model)
+    shard runs its own independent ring over the seq axis."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    spec = P(None, None, axis_name, None)
+    spec = P(data_axis, model_axis, axis_name, None)
     ring = _make_ring(axis_name, float(scale), bool(causal), bool(interpret))
 
     def inner(q, k, v):

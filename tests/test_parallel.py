@@ -203,6 +203,33 @@ def test_ring_attention_grads_match_local(causal):
         assert diff < 5e-5, f"{name} diff {diff}"
 
 
+def test_ring_attention_composed_with_tp():
+    """Ring (seq) x TP (heads) on a 2-D mesh: each head shard runs its
+    own ring; output matches the local fused path, grads included."""
+    from jax.sharding import Mesh
+    from flash_cosine_sim_attention_tpu.parallel.ring_attention import (
+        ring_flash_cosine_sim_attention,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("model", "seq"))
+    rng = np.random.default_rng(10)
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 4, 256, 64)), jnp.float32)
+               for _ in range(3))
+
+    def ring(q, k, v):
+        return ring_flash_cosine_sim_attention(
+            q, k, v, mesh, causal=True, model_axis="model")
+
+    o_ring = ring(q, k, v)
+    o_local = flash_cosine_sim_attention(q, k, v, causal=True)
+    assert float(jnp.abs(o_ring - o_local).max()) < 2e-5
+
+    g_ring = jax.grad(lambda q: jnp.sum(ring(q, k, v) ** 2))(q)
+    g_local = jax.grad(lambda q: jnp.sum(flash_cosine_sim_attention(
+        q, k, v, causal=True) ** 2))(q)
+    assert float(jnp.abs(g_ring - g_local).max()) < 5e-5
+
+
 def test_ring_attention_grouped_bf16():
     from jax.sharding import Mesh
     from flash_cosine_sim_attention_tpu.parallel.ring_attention import (
