@@ -81,7 +81,7 @@ def test_feature_grid(causal, use_mask, use_bias, bbd, seq, single_head_kv):
     check(q, k, v, mask, bias, causal=causal, bbd=bbd)
 
 
-@pytest.mark.parametrize("d", [16, 32, 96, 128])
+@pytest.mark.parametrize("d", [16, 32, 48, 96, 128])
 def test_head_dims(d):
     rng = np.random.default_rng(1)
     q, k, v, mask, bias = make_inputs(
@@ -223,6 +223,18 @@ def test_l2norm_qk_false():
     a = flash_cosine_sim_attention(qn, kn, v, l2norm_qk=False)
     b = flash_cosine_sim_attention(q, k, v, l2norm_qk=True)
     assert float(jnp.abs(a - b).max()) < 1e-5
+
+
+def test_shape_validation_errors():
+    rng = np.random.default_rng(14)
+    q, k, v, _, _ = make_inputs(rng, 2, 4, 4, 32, 32, 64, False, False,
+                                False, jnp.float32)
+    with pytest.raises(AssertionError, match="dim_head"):
+        flash_cosine_sim_attention(q[..., :50], k[..., :50], v[..., :50])
+    with pytest.raises(AssertionError, match="head dims"):
+        flash_cosine_sim_attention(q, k[..., :32], v)
+    with pytest.raises(AssertionError, match="sequence lengths"):
+        flash_cosine_sim_attention(q, k, v[:, :, :16])
 
 
 def test_causal_and_mask_rejected():
