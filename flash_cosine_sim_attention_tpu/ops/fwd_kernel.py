@@ -141,6 +141,10 @@ def _fwd_kernel(
         if keep is not None:
             e = jnp.where(keep, e, 0.0)
 
+        # NOTE: folding the row-sum into the PV matmul via a ones-column
+        # on V (rowsum as an extra MXU output lane) was measured ~5%
+        # SLOWER on v5e — the per-tile concat copy of the V block costs
+        # more than the saved lane-reduction.  Keeping the VPU reduce.
         lsum_ref[...] += jnp.sum(e, axis=-1, keepdims=True)
         acc_ref[...] += jax.lax.dot_general(
             e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
