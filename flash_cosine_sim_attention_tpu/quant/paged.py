@@ -289,7 +289,9 @@ def _paged_decode_kernel(
 
 
 def _kernel_paged_decode(q, cache: PagedKVCache, scale: float,
-                         interpret: bool, chunk_tokens: int = 2048):
+                         interpret: bool, chunk_tokens: int = 4096):
+    # chunk sweep on v5e (b8 h8 ctx8000 ps256): 2048 -> 0.275 ms,
+    # 4096 -> 0.238 ms, 8192 -> 0.254 ms per token
     """Pallas paged decode: page table scalar-prefetched into SMEM; each
     grid step manually DMAs its chunk's pages from the HBM pool into
     VMEM and runs one fused attention tile per page."""
