@@ -43,7 +43,9 @@ def _layer_params(params, name):
 
 
 def _dense(p, x):
-    return x @ p["kernel"].astype(x.dtype)
+    from ..quant.weights import dense_apply
+
+    return dense_apply(p, x)
 
 
 def _layernorm(p, x, eps=1e-6):

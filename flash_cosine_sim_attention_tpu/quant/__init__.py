@@ -20,6 +20,12 @@ from .paged import (
     init_paged_cache,
     paged_decode_attention,
 )
+from .weights import (
+    dense_apply,
+    dequantize_dense_kernel,
+    quantize_dense_kernel,
+    quantize_params,
+)
 
 __all__ = [
     "FP8_DTYPE",
@@ -27,8 +33,12 @@ __all__ = [
     "PageAllocator",
     "PagedKVCache",
     "append_paged",
+    "dense_apply",
+    "dequantize_dense_kernel",
     "init_paged_cache",
     "paged_decode_attention",
+    "quantize_dense_kernel",
+    "quantize_params",
     "QuantKVCache",
     "append",
     "dequantize_k",

@@ -149,3 +149,62 @@ def test_grouped_l2norm_cache():
                                      block_k=128)
     ref = reference_decode_attention(q, cache, groups=8, scale=1.0)
     assert float(jnp.abs(out - ref).max()) < DELTA_KERNEL_VS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# int8 weight quantization (serving path)
+# ---------------------------------------------------------------------------
+
+
+def test_weight_quantization_roundtrip():
+    from flash_cosine_sim_attention_tpu.quant import (
+        dequantize_dense_kernel,
+        quantize_dense_kernel,
+    )
+    rng = np.random.default_rng(10)
+    w = jnp.asarray(rng.standard_normal((64, 128)) * 0.3, jnp.float32)
+    w8, scale = quantize_dense_kernel(w)
+    assert w8.dtype == jnp.int8 and scale.shape == (1, 128)
+    err = jnp.abs(dequantize_dense_kernel(w8, scale) - w)
+    assert bool((err <= scale * 0.5 + 1e-7).all())  # half-step bound
+
+
+def test_quantized_weights_decode_path():
+    """Engine-style prefill+decode with int8 weights tracks the f32-weight
+    path (per-channel absmax keeps logits close on a small model)."""
+    from flash_cosine_sim_attention_tpu.models import (
+        CosineSimCausalTransformer,
+    )
+    from flash_cosine_sim_attention_tpu.models.decoding import (
+        decode_step,
+        init_decode_state,
+        prefill,
+    )
+    from flash_cosine_sim_attention_tpu.quant import quantize_params
+
+    model = CosineSimCausalTransformer(
+        num_tokens=64, dim=64, depth=2, max_seq_len=64, heads=4,
+        dim_head=16, pre_norm=True, attn_scale=1.0, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    prompt = jax.random.randint(rng, (1, 24), 0, 64)
+    params = model.init(rng, prompt)
+    params_q = quantize_params(params)
+
+    # quantized pytree: every 2-D kernel replaced, everything else intact
+    leaves_q = {p for p, _ in jax.tree_util.tree_flatten_with_path(
+        params_q)[0]}
+    assert not any("kernel'" in str(p) and "kernel_q" not in str(p)
+                   and "kernel_scale" not in str(p) for p in leaves_q)
+
+    st_f = init_decode_state(model, 1, 64)
+    lf, st_f = prefill(model, params, st_f, prompt)
+    st_q = init_decode_state(model, 1, 64)
+    lq, st_q = prefill(model, params_q, st_q, prompt)
+    rel = float(jnp.linalg.norm(lq - lf) / jnp.linalg.norm(lf))
+    assert rel < 0.05, rel
+
+    tok = jnp.argmax(lf, -1).astype(jnp.int32)
+    lf2, _ = decode_step(model, params, st_f, tok)
+    lq2, _ = decode_step(model, params_q, st_q, tok)
+    rel2 = float(jnp.linalg.norm(lq2 - lf2) / jnp.linalg.norm(lf2))
+    assert rel2 < 0.08, rel2
