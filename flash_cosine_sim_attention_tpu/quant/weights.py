@@ -1,10 +1,13 @@
 """INT8 weight quantization for the serving path.
 
 Completes the quantized-inference story (north star): with the KV cache
-already int8, the model weights are the other large HBM resident that
-streams every decode step.  Per-output-channel absmax int8 halves weight
-traffic vs bf16 (4x vs f32); the dequant is a per-channel multiply that
-XLA fuses into the matmul epilogue.
+already int8, the model weights are the other large HBM resident.
+Per-output-channel absmax int8 halves weight MEMORY vs bf16 (4x vs
+f32).  Measured caveat (v5e, dim 512 / depth 8): decode-step time is
+speed-NEUTRAL (0.95x) — XLA does not reliably fuse the int8->bf16
+upcast into the dot's operand read, so the win is capacity (bigger
+models per chip), not bandwidth.  A Pallas fused-dequant matmul is the
+known fix if weight bandwidth ever dominates.
 
 Applies to the decode/prefill path in ``models/decoding.py``, which
 applies parameters manually (``_dense``) rather than through flax
