@@ -25,6 +25,7 @@ from .weights import (
     dequantize_dense_kernel,
     quantize_dense_kernel,
     quantize_params,
+    quantized_matmul,
 )
 
 __all__ = [
@@ -39,6 +40,7 @@ __all__ = [
     "paged_decode_attention",
     "quantize_dense_kernel",
     "quantize_params",
+    "quantized_matmul",
     "QuantKVCache",
     "append",
     "dequantize_k",

@@ -208,3 +208,20 @@ def test_quantized_weights_decode_path():
     lq2, _ = decode_step(model, params_q, st_q, tok)
     rel2 = float(jnp.linalg.norm(lq2 - lf2) / jnp.linalg.norm(lf2))
     assert rel2 < 0.08, rel2
+
+
+def test_quantized_matmul_kernel():
+    """Pallas fused-dequant matmul vs exact dequant (runs in interpret
+    mode on CPU; on v5e it streams int8 from HBM at bandwidth SOL)."""
+    from flash_cosine_sim_attention_tpu.quant import (
+        quantize_dense_kernel,
+        quantized_matmul,
+    )
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 512)) * 0.1, jnp.float32)
+    w8, scale = quantize_dense_kernel(w)
+    y_k = quantized_matmul(x, w8, scale, block_out=256, block_in=128)
+    y_ref = x @ (w8.astype(jnp.float32) * scale)
+    rel = float(jnp.linalg.norm(y_k - y_ref) / jnp.linalg.norm(y_ref))
+    assert rel < 1e-5, rel
