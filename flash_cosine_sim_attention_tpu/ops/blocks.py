@@ -23,22 +23,37 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pick_block_sizes(dtype, head_dim: int, seq_q: int, seq_k: int):
+def pick_block_sizes(dtype, head_dim: int, seq_q: int, seq_k: int,
+                     kind: str = "fwd"):
     """Return (block_q, block_k) for the fused kernels.
 
     Larger K blocks amortize the per-grid-step overhead; Q blocks are kept
     moderate so the f32 (block_q, block_k) exp-weight tile and the
     (block_q, head_dim) accumulator fit VMEM comfortably alongside
-    double-buffered K/V blocks.
+    double-buffered K/V blocks.  ``kind`` ("fwd"/"bwd") selects the table;
+    FCSA_{FWD,BWD}_BQ/BK env vars override for sweeping.
     """
+    import os
+
+    pfx = "FCSA_BWD_" if kind == "bwd" else "FCSA_FWD_"
+    env_bq = os.environ.get(pfx + "BQ")
+    env_bk = os.environ.get(pfx + "BK")
+    if env_bq and env_bk:
+        return int(env_bq), int(env_bk)
     # v5e-swept (tools/tune_blocks.py, seq 4096 causal): tall Q blocks win —
     # the Q/dO/O tiles and the dQ accumulator are fetched/flushed once per
     # row block, so fewer row blocks means proportionally less non-K/V
     # traffic and per-grid-step overhead; (1024, 512) beat the old
     # (256, 1024) by ~22% on fwd+bwd.
     if dtype == jnp.float32:
+        # f32 tiles are 4-byte: (512, 512) fits VMEM for both directions
+        # ((1024, 1024) OOMs the backward's transposed tile)
         block_q, block_k = 512, 512
-    else:  # bf16 / f16: smaller element size, bigger tiles
+    elif kind == "bwd":
+        # bwd swept best at (1024, 1024) bf16 (the dKdV pass reuses its
+        # K/V-side tiles over a bigger Q sweep)
+        block_q, block_k = 1024, 1024
+    else:  # bf16 / f16 forward
         # d<=64: (1024, 512); d=128 swept best at (1024, 1024) — the
         # deeper contraction amortizes more K/V traffic per tile
         block_q, block_k = 1024, (1024 if head_dim > 64 else 512)

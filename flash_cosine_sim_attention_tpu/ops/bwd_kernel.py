@@ -424,7 +424,7 @@ def flash_attention_backward(
     assert h % kvh == 0, (h, kvh)
     q_per_kv = h // kvh
 
-    bq_d, bk_d = pick_block_sizes(q.dtype, d, seq_q, seq_k)
+    bq_d, bk_d = pick_block_sizes(q.dtype, d, seq_q, seq_k, kind="bwd")
     block_q = block_q or bq_d
     block_k = block_k or bk_d
     nq = pl.cdiv(seq_q, block_q)
