@@ -118,21 +118,33 @@ def quantized_matmul(x: jax.Array, w8: jax.Array, scale: jax.Array,
     return out.astype(x.dtype)
 
 
+def _kernel_shapes_ok(rows: int, d_in: int, d_out: int) -> bool:
+    return (d_out % min(512, d_out) == 0 and d_in % min(2048, d_in) == 0
+            and rows >= 1)
+
+
 def dense_apply(p, x, use_kernel: bool = False):
     """Apply a (possibly quantized) dense kernel dict to ``x``.
 
-    int8 XLA path (default): matmul with the int8 kernel upcast to the
-    activation dtype; measured speed-NEUTRAL on v5e (XLA materializes
-    the upcast) — the win is weight memory.  ``use_kernel=True`` routes
-    through the Pallas fused-dequant matmul, which actually streams
-    int8 from HBM (worth it when weight bandwidth dominates, i.e. large
-    models at small batch).
+    Default XLA path for quantized kernels.  ``use_kernel=True`` routes
+    through the Pallas fused-dequant matmul — at int8 HBM speed-of-light
+    in ISOLATION, but measured a wash inside a full decode step even at
+    0.94B params (112 pallas_calls/step add more launch/fusion-break
+    overhead than the ~0.5 ms of weight bandwidth they save, and the
+    step is also KV-cache-traffic bound).  Worth enabling only for
+    models whose individual weight matrices are much larger.
     """
     if "kernel_q" in p:
+        lead = x.shape[:-1]
+        rows = 1
+        for s in lead:
+            rows *= int(s)
+        d_in, d_out = p["kernel_q"].shape
+        if use_kernel and not _kernel_shapes_ok(rows, d_in, d_out):
+            use_kernel = False
         if use_kernel:
-            lead = x.shape[:-1]
             y = quantized_matmul(
-                x.reshape(-1, x.shape[-1]), p["kernel_q"],
+                x.reshape(rows, d_in), p["kernel_q"],
                 p["kernel_scale"].astype(jnp.float32))
             return y.reshape(*lead, -1)
         y = x @ p["kernel_q"].astype(x.dtype)
