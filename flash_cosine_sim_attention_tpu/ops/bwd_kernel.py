@@ -570,7 +570,15 @@ def flash_attention_backward(
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
+            # nk is parallel (each K/V block's accumulation lives entirely
+            # inside its own (h, q) sweep); h is parallel only when each
+            # query head owns its KV head (no cross-head accumulation).
+            # On single-core v5e this is documentation; on megacore parts
+            # it enables splitting the grid across cores.
+            dimension_semantics=(
+                "parallel", "parallel",
+                "parallel" if q_per_kv == 1 else "arbitrary",
+                "arbitrary"),
         ),
         interpret=interpret,
     )(*dkv_args)

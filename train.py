@@ -96,9 +96,21 @@ def main():
     ap.add_argument("--checkpoint-dir", type=str, default="",
                     help="save/resume checkpoints here (orbax)")
     ap.add_argument("--checkpoint-every", type=int, default=1000)
+    ap.add_argument("--model-parallel", type=int, default=0,
+                    help="shard over a (data, model) mesh (0 = single "
+                         "device); heads/MLP shard over `model`, batch "
+                         "over `data`")
     args = ap.parse_args()
 
     dtype = jnp.float32 if args.use_float32 else jnp.bfloat16
+
+    mesh = None
+    if args.model_parallel > 1:
+        from flash_cosine_sim_attention_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model_parallel=args.model_parallel)
+        print(f"mesh: data={mesh.shape['data']} "
+              f"model={mesh.shape['model']}")
 
     # model config mirrors reference train.py:53-64
     model = CosineSimCausalTransformer(
@@ -111,6 +123,7 @@ def main():
         use_fused=not args.no_fused,
         pre_norm=True,
         dtype=dtype,
+        mesh=mesh,
     )
 
     sampler = make_sampler(seed=args.seed)
@@ -136,6 +149,12 @@ def main():
         if ck_step is not None:
             start_step = ck_step + 1
             print(f"resumed from step {ck_step}")
+
+    if mesh is not None:
+        from flash_cosine_sim_attention_tpu.parallel import shard_params
+
+        params = shard_params(params, mesh)
+        opt_state = tx.init(params)
 
     @jax.jit
     def train_step(params, opt_state, batches):
