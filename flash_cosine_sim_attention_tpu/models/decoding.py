@@ -348,6 +348,74 @@ def decode_step_paged(model: CosineSimCausalTransformer, params,
     return logits[:, 0], PagedDecodeState(tuple(caches), pos)
 
 
+def prefill_continue_paged(model: CosineSimCausalTransformer, params,
+                           state: PagedDecodeState, slot,
+                           tokens: jax.Array, true_len=None):
+    """Multi-turn continuation against the PAGED cache (see
+    ``prefill_continue``): the chunk attends the slot's gathered history
+    pages (key-masked) and itself (causal); partials merge by the
+    no-row-max sum.  The slot's table must already hold pages covering
+    the chunk.  Inference-only."""
+    from ..ops.fwd_kernel import flash_attention_forward
+    from ..quant.kv_cache import K_SCALE
+
+    caches = list(state.caches)
+    pos0 = jax.lax.dynamic_slice_in_dim(state.pos, slot, 1, axis=0)
+    n_new = (jnp.full((1,), tokens.shape[1], jnp.int32)
+             if true_len is None else true_len)
+    interp = jax.default_backend() != "tpu"
+
+    def attn(layer, q, k, v):
+        c = caches[layer]
+        view = _slot_view(c, slot)
+        hist_len = view.length                                   # (1,)
+        # chunk vs itself
+        o_new, inv_new = flash_attention_forward(
+            q, k, v, None, None, bias_batch_dim=False,
+            scale=model.attn_scale, causal=True, interpret=interp)
+        # chunk vs gathered history pages (dequantized)
+        ps, mp = c.page_size, c.max_pages
+        table1 = view.page_table                                 # (1, mp)
+        kvh, d = c.k8.shape[1], c.k8.shape[2]
+        k_dq = 1.0 if c.is_fp8 else 1.0 / K_SCALE
+        kh = (c.k8[table1].astype(jnp.float32) * k_dq)
+        kh = kh.transpose(0, 2, 3, 1, 4).reshape(1, kvh, d, mp * ps)
+        kh = kh.swapaxes(-1, -2).astype(q.dtype)      # (1, kvh, mp*ps, d)
+        vh = c.v8[table1].astype(jnp.float32)
+        if not c.is_fp8:
+            vh = vh * c.v_scale[table1]
+        vh = vh.transpose(0, 2, 3, 1, 4).reshape(1, kvh, d, mp * ps)
+        vh = vh.swapaxes(-1, -2).astype(q.dtype)
+        keep = (jnp.arange(mp * ps)[None, :] < hist_len[:, None])
+        o_hist, inv_hist = flash_attention_forward(
+            q, kh, vh, keep, None, bias_batch_dim=False,
+            scale=model.attn_scale, causal=False, interpret=interp)
+        l_new = 1.0 / inv_new
+        l_hist = 1.0 / inv_hist
+        l_tot = jnp.maximum(l_new + l_hist, 1e-10)
+        o = (o_new.astype(jnp.float32) * l_new
+             + o_hist.astype(jnp.float32) * l_hist) / l_tot
+        # append the chunk through the slot view
+        view = append_paged(view, k, v)
+        view = view._replace(length=hist_len + n_new)
+        caches[layer] = PagedKVCache(
+            view.k8, view.v8, view.v_scale, c.page_table,
+            jax.lax.dynamic_update_slice_in_dim(
+                c.length, view.length, slot, axis=0))
+        return o.astype(q.dtype)
+
+    x = _embed(model, params, tokens, pos0)
+    logits = _transformer_pass(model, params, x, attn)
+    if true_len is None:
+        last = logits[:, -1]
+    else:
+        idx = (true_len - 1)[:, None, None]
+        last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+    pos = jax.lax.dynamic_update_slice_in_dim(
+        state.pos, pos0 + n_new, slot, axis=0)
+    return last, PagedDecodeState(tuple(caches), pos)
+
+
 def generate_cached(
     model: CosineSimCausalTransformer,
     params,

@@ -26,6 +26,7 @@ from ..models.decoding import (
     PagedDecodeState,
     decode_step_paged,
     init_paged_decode_state,
+    prefill_continue_paged,
     prefill_paged,
 )
 from ..models.transformer import top_k_filter
@@ -95,8 +96,15 @@ class PagedInferenceEngine:
                 self.model, params, state, tokens, active)
             return _sample(rng, logits), state
 
+        @jax.jit
+        def _continue(params, state, slot, tokens, true_len, rng):
+            logits, state = prefill_continue_paged(
+                self.model, params, state, slot, tokens, true_len=true_len)
+            return _sample(rng, logits), state
+
         self._prefill = _prefill
         self._decode = _decode
+        self._continue = _continue
 
     # ------------------------------------------------------------------
     def free_slots(self) -> List[int]:
@@ -142,6 +150,35 @@ class PagedInferenceEngine:
         self.last_token[slot] = int(tok[0])
         self.active[slot] = True
         return slot
+
+    def continue_request(self, slot: int, new_tokens: np.ndarray) -> int:
+        """Multi-turn: extend an ACTIVE slot with a new prompt chunk in one
+        prefill pass (allocates pages for the chunk first)."""
+        if not self.active[slot]:
+            raise RuntimeError(f"slot {slot} is not active")
+        n = len(new_tokens)
+        width = _bucket(n, self.buckets)
+        used = int(self.state.pos[slot])
+        need_pages = (used + n + self.page_size - 1) // self.page_size
+        have = len(self.slot_pages[slot])
+        if need_pages > self.max_pages:
+            raise RuntimeError(
+                f"slot {slot}: continuation exceeds max pages")
+        if need_pages > have:
+            new = self.allocator.alloc(need_pages - have)
+            for i, p in enumerate(new):
+                self.table[slot, have + i] = p
+            self.slot_pages[slot].extend(new)
+            self._sync_table()
+        padded = np.zeros((1, width), np.int32)
+        padded[0, :n] = new_tokens
+        self._rng, sub = jax.random.split(self._rng)
+        tok, self.state = self._continue(
+            self.params, self.state, jnp.int32(slot), jnp.asarray(padded),
+            jnp.asarray([n], jnp.int32), sub)
+        self.last_token = np.array(self.last_token)
+        self.last_token[slot] = int(tok[0])
+        return int(tok[0])
 
     def step(self) -> Dict[int, int]:
         """One decode step for every active slot -> {slot: token}."""

@@ -133,3 +133,32 @@ def test_pool_exhaustion(setup):
     eng.add_request(np.arange(8) % 64)   # 256+8 -> 3 pages (of 3 free)
     with pytest.raises(RuntimeError):
         eng.add_request(np.arange(8) % 64)
+
+
+def test_paged_continue_request(setup):
+    """Multi-turn on the paged engine: continuation allocates pages and
+    matches the contiguous engine's continuation flow."""
+    model, params = setup
+    eng = _paged(model, params, temperature=1e-4, seed=11,
+                 reserve_tokens=0)
+    s = eng.add_request(np.arange(20) % 64)
+    pages0 = eng.pages_in_use()
+    for _ in range(3):
+        eng.step()
+    tok = eng.continue_request(s, (np.arange(150) * 3) % 64)
+    assert 0 <= tok < 64
+    assert int(eng.state.pos[s]) == 20 + 3 + 150
+    assert eng.pages_in_use() > pages0  # chunk forced page growth
+    nxt = eng.step()
+    assert s in nxt
+
+
+def test_paged_fp8_cache(setup):
+    """Paged pool in e4m3: decode + lifecycle still work."""
+    model, params = setup
+    eng = _paged(model, params, seed=12, kv_dtype=jnp.float8_e4m3fn)
+    s = eng.add_request(np.arange(16) % 64)
+    toks = [eng.step()[s] for _ in range(4)]
+    assert all(0 <= t < 64 for t in toks)
+    eng.finish(s)
+    assert eng.pages_in_use() == 0
