@@ -120,7 +120,13 @@ def append_paged(cache: PagedKVCache, k_norm: jax.Array, v: jax.Array,
 
     pos = cache.length[:, None] + jnp.arange(t)[None, :]        # (b, t)
     pids = jnp.take_along_axis(
-        cache.page_table, pos // ps, axis=1)                    # (b, t)
+        cache.page_table, jnp.minimum(pos // ps, cache.max_pages - 1),
+        axis=1)                                                 # (b, t)
+    # positions past the table (e.g. bucket-pad tokens of a continuation
+    # chunk when the slot already holds max_pages) must NOT clip onto the
+    # last real page — redirect them to the null page 0, which is never
+    # attended
+    pids = jnp.where(pos // ps < cache.max_pages, pids, 0)
     offs = pos % ps                                             # (b, t)
     if active is not None:
         pids = jnp.where(active[:, None], pids, 0)

@@ -168,10 +168,14 @@ class InferenceEngine:
             raise RuntimeError(f"slot {slot} is not active")
         n = len(new_tokens)
         width = _bucket(n, self.buckets)
-        if int(self.state.pos[slot]) + n > self.capacity:
+        # guard on the PADDED width, not n: prefill_continue appends the
+        # whole bucket-padded chunk, and dynamic_update_slice would clamp
+        # a partially-out-of-range write back to capacity-width, silently
+        # shifting the chunk left over valid history
+        if int(self.state.pos[slot]) + width > self.capacity:
             raise RuntimeError(
-                f"slot {slot}: continuation would exceed capacity "
-                f"{self.capacity}")
+                f"slot {slot}: continuation (bucket-padded to {width}) "
+                f"would exceed capacity {self.capacity}")
         padded = np.zeros((1, width), np.int32)
         padded[0, :n] = new_tokens
         self._rng, sub = jax.random.split(self._rng)

@@ -98,3 +98,30 @@ def test_allocator_reuse():
     assert len(set(b)) == 7 and 0 not in b
     with pytest.raises(RuntimeError):
         alloc.alloc(1)
+
+
+def test_append_past_table_goes_to_null_page():
+    """Regression (ADVICE r1): positions beyond the page table (e.g.
+    bucket-pad tokens when a slot already holds max_pages) must scatter to
+    the null page, not clip onto the slot's last real page."""
+    rng = np.random.default_rng(7)
+    ps, mp, d = 128, 2, 8
+    paged = init_paged_cache(4, 1, ps, d, 1, mp)
+    paged = paged._replace(page_table=jnp.asarray([[1, 2]], np.int32))
+
+    k = jnp.asarray(rng.standard_normal((1, 1, 250, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 1, 250, d)), jnp.float32)
+    paged = append_paged(paged, l2norm_tensors(k), v)
+    before = np.asarray(paged.k8)
+
+    # 20 more tokens: pos 250..269 -> 250..255 legit (page 2),
+    # 256..269 past the table -> must land on null page 0
+    k2 = jnp.asarray(rng.standard_normal((1, 1, 20, d)), jnp.float32)
+    v2 = jnp.asarray(rng.standard_normal((1, 1, 20, d)), jnp.float32)
+    paged = append_paged(paged, l2norm_tensors(k2), v2)
+    after = np.asarray(paged.k8)
+
+    # tokens 128..249 live in page 2 at offsets 0..121: untouched
+    np.testing.assert_array_equal(after[2, :, :, :122], before[2, :, :, :122])
+    # the legit tail (tokens 250..255, offsets 122..127 of page 2) changed
+    assert not np.array_equal(after[2, :, :, 122:], before[2, :, :, 122:])

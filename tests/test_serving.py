@@ -125,3 +125,16 @@ def test_prompt_too_long_rejected(setup):
                           prompt_buckets=(32,), seed=1)
     with pytest.raises(ValueError):
         eng.add_request(np.arange(100))
+
+
+def test_continue_padded_width_guard(setup):
+    """Regression (ADVICE r1): continue_request must guard on the BUCKET-
+    PADDED chunk width, not the raw token count — the padded append would
+    otherwise clamp its write start and shift the chunk over history."""
+    model, params = setup
+    eng = InferenceEngine(model, params, num_slots=1, capacity=160,
+                          prompt_buckets=(32, 128), seed=3)
+    eng.add_request(np.arange(100) % 64)          # pos = 100
+    # n=50 fits raw (100+50 <= 160) but buckets to 128: 100+128 > 160
+    with pytest.raises(RuntimeError, match="capacity"):
+        eng.continue_request(0, np.arange(50) % 64)
