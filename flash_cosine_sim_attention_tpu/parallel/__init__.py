@@ -6,7 +6,12 @@ from .sharded_decode import (
     head_sharded_decode_attention,
     shard_cache,
 )
-from .train import make_sharded_train_step, param_shardings, shard_params
+from .train import (
+    make_sharded_train_step,
+    param_shardings,
+    shard_opt_state,
+    shard_params,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -20,5 +25,6 @@ __all__ = [
     "make_sharded_train_step",
     "param_shardings",
     "shard_cache",
+    "shard_opt_state",
     "shard_params",
 ]

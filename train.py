@@ -151,10 +151,15 @@ def main():
             print(f"resumed from step {ck_step}")
 
     if mesh is not None:
-        from flash_cosine_sim_attention_tpu.parallel import shard_params
+        from flash_cosine_sim_attention_tpu.parallel import (
+            shard_opt_state,
+            shard_params,
+        )
 
         params = shard_params(params, mesh)
-        opt_state = tx.init(params)
+        # reshard the EXISTING opt_state (restored moments survive a
+        # --model-parallel resume; tx.init here would discard them)
+        opt_state = shard_opt_state(tx, opt_state, params, mesh)
 
     @jax.jit
     def train_step(params, opt_state, batches):
