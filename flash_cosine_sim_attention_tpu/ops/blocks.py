@@ -63,3 +63,31 @@ def pick_block_sizes(dtype, head_dim: int, seq_q: int, seq_k: int,
     block_q = min(block_q, _round_up(max(seq_q, 1), 128))
     block_k = min(block_k, _round_up(max(seq_k, 1), 128))
     return block_q, block_k
+
+
+def pick_fwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
+    """(block_q, block_k_outer, block_k_inner) for the TRANSPOSED forward.
+
+    The transposed kernel streams Q positions on lanes, so ``block_q`` is
+    a lane count; K is consumed in big outer blocks (one DMA, one grid
+    step) walked by an unrolled inner sub-tile loop that bounds the live
+    f32 score tile to (block_k_inner, block_q).  v5e sweep (causal bf16
+    d=64 @4096): (512, 4096, 512) = 0.88 ms vs 1.23 for the row-major
+    kernel — big outer blocks amortize per-grid-step overhead, the inner
+    512 keeps causal skipping fine-grained.  FCSA_FWD_BQ/BKO/BKI override.
+    """
+    import os
+
+    env = [os.environ.get("FCSA_FWD_" + k) for k in ("BQ", "BKO", "BKI")]
+    if all(env):
+        bq, bko, bki = (int(x) for x in env)
+    elif dtype == jnp.float32:
+        # f32 tiles are 4-byte: halve the outer K block to keep the
+        # double-buffered K/V^T windows + score tile inside VMEM
+        bq, bko, bki = 512, 2048, 512
+    else:
+        bq, bko, bki = 512, 4096, 512
+    bq = min(bq, _round_up(max(seq_q, 1), 128))
+    bko = min(bko, _round_up(max(seq_k, 1), 128))
+    bki = min(bki, bko)
+    return bq, bko, bki

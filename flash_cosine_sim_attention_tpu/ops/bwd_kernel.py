@@ -67,10 +67,12 @@ def _recompute_p_and_ds(
     ``0 * NaN`` poison p/ds.  Masking the final products guarantees masked
     entries are exactly 0 regardless of the garbage upstream.
     """
-    # exp2 with log2(e) pre-folded into the compile-time scale (see
-    # fwd_kernel.py): saves a VPU multiply per element vs jnp.exp
+    # exp2 with log2(e) pre-folded into the compile-time scale; the
+    # ``- scale`` shift is dropped to match the forward's exp-weight
+    # convention (see fwd_kernel.py: inv_l absorbs the constant factor,
+    # so P = e * inv_l is unchanged)
     log2e = 1.4426950408889634
-    logits2 = s * (scale * log2e) - (scale * log2e)
+    logits2 = s * (scale * log2e)
     if bias is not None:
         logits2 = logits2 + bias * log2e
     e = jnp.exp2(logits2)

@@ -172,6 +172,18 @@ def flash_cosine_sim_attention(
         q, k, v, attn_bias_batch_dim
     )
 
+    # float16 acceptance (the reference dispatches Half natively,
+    # cu:1702/1833; its f16 test tolerance is 1e-1, test.py:12-18): the
+    # TPU MXU's native half format is bf16, so f16 inputs compute in bf16
+    # and cast back.  The casts sit OUTSIDE the custom_vjp, so autodiff
+    # returns f16 gradients automatically.
+    in_dtype = q4.dtype
+    is_f16 = in_dtype == jnp.float16
+    if is_f16:
+        q4, k4, v4 = (t.astype(jnp.bfloat16) for t in (q4, k4, v4))
+        if attn_bias is not None and attn_bias.dtype == jnp.float16:
+            attn_bias = attn_bias.astype(jnp.bfloat16)
+
     if interpret is None:
         interpret = _use_interpret()
 
@@ -182,6 +194,8 @@ def flash_cosine_sim_attention(
         block_q, block_k, bool(interpret), qk_quant,
     )
     o = fused(q4, k4, v4, mask, attn_bias)
+    if is_f16:
+        o = o.astype(in_dtype)
 
     if merged:
         o = o[:, 0]

@@ -37,7 +37,234 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .blocks import EPS, pick_block_sizes
+from .blocks import EPS, pick_block_sizes, pick_fwd_blocks_t
+
+LOG2E = 1.4426950408889634
+
+
+def _fwd_kernel_t(
+    *refs,
+    scale: float,
+    causal: bool,
+    seq_q: int,
+    seq_k: int,
+    block_q: int,
+    bko: int,
+    bki: int,
+    has_mask: bool,
+    out_dtype,
+    precision,
+    s_dequant: float,
+):
+    """Transposed forward: s^T = K Q^T, O^T = V^T e^T.
+
+    Both matmuls then have their OUTPUT width on the big lane dimension
+    (block_q), so only QK's unavoidable d-deep contraction under-fills the
+    128x128 MXU; PV runs at full utilization (the row-major kernel paid
+    the d-wide-lanes penalty on BOTH — measured 1.4x slower at d=64).
+    One grid step consumes a large outer K block (``bko``) via an unrolled
+    inner loop of (bki, block_q) sub-tiles: big blocks amortize per-step
+    overhead, the small inner tile keeps causal skipping fine-grained and
+    bounds the live f32 score tile.  The exp-weight convention drops the
+    reference's ``- scale`` shift (cu:1216) entirely: a CONSTANT factor on
+    every exp-weight cancels in O = acc / rowsum, which only the
+    no-row-max property makes possible — one less VPU op per element, and
+    the ``scale * log2e`` multiply is pre-folded into the Q tile (d-wide
+    work instead of seq_k-wide).
+    """
+    idx = 0
+    qT_ref = refs[idx]; idx += 1          # (1, 1, d, block_q)
+    k_ref = refs[idx]; idx += 1           # (1, 1, bko, d)
+    vT_ref = refs[idx]; idx += 1          # (1, 1, d, bko)
+    mask_ref = None
+    if has_mask:
+        mask_ref = refs[idx]; idx += 1    # (1, bko, 1) f32
+    oT_ref, lT_ref, acc_ref, lsum_ref = refs[idx : idx + 4]
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+    seq_len_diff = seq_k - seq_q
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        lsum_ref[...] = jnp.zeros_like(lsum_ref)
+
+    q_last = qi * block_q + block_q - 1 + seq_len_diff
+    run = (q_last >= ki * bko) if causal else True
+
+    @pl.when(run)
+    def _tile():
+        c = scale * LOG2E
+        qT = qT_ref[0, 0]
+        if qT.dtype != jnp.int8:
+            # pre-fold scale*log2e into the (d, block_q) Q tile: the MXU
+            # then emits ready-to-exp2 logits
+            qT = (qT.astype(jnp.float32) * c).astype(qT_ref.dtype)
+        # q positions ride the LANES (pre-shifted by the cross-attention
+        # causal alignment, cu:1097: query row r sees cols <= r + diff)
+        row = qi * block_q + seq_len_diff + jax.lax.broadcasted_iota(
+            jnp.int32, (bki, block_q), 1)
+
+        n_sub = bko // bki
+        for j in range(n_sub):
+            col0 = ki * bko + j * bki  # traced (ki is a program id)
+            # static reachability of the sequence edge for THIS j: only
+            # the last outer block can overrun, at ki = nk - 1
+            edge_possible = (nk - 1) * bko + (j + 1) * bki > seq_k
+
+            def _sub(j=j, col0=col0, edge_possible=edge_possible):
+                kj = k_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
+                if kj.dtype == jnp.int8:
+                    sT = jax.lax.dot_general(
+                        kj, qT_ref[0, 0], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                    e = jnp.exp2(sT * (c * s_dequant))
+                else:
+                    sT = jax.lax.dot_general(
+                        kj, qT, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )                                          # (bki, block_q)
+                    e = jnp.exp2(sT)
+
+                # k positions ride the SUBLANES.  Predicates on the traced
+                # col0 fold into ONE fused where; statically-unreachable
+                # terms are dropped at trace time.
+                keep = None
+                col_s = None
+                if edge_possible or causal:
+                    col_s = col0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (bki, block_q), 0)
+                if edge_possible:
+                    keep = col_s < seq_k
+                if causal:
+                    # whole sub-tile below the diagonal -> mask is a no-op
+                    sub_interior = col0 + bki - 1 <= (
+                        qi * block_q + seq_len_diff)
+                    cc = jnp.logical_or(sub_interior, col_s <= row)
+                    keep = cc if keep is None else keep & cc
+                if has_mask:
+                    km = mask_ref[0, j * bki:(j + 1) * bki] > 0  # (bki, 1)
+                    keep = km if keep is None else keep & km
+                if keep is not None:
+                    e = jnp.where(keep, e, 0.0)
+
+                vj = vT_ref[0, 0, :, j * bki:(j + 1) * bki]    # (d, bki)
+                if edge_possible and seq_k % bki != 0:
+                    # zero V's OOB lanes: the zeroed e rows hit them in the
+                    # contraction and 0 * garbage = NaN otherwise
+                    lane = col0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, bki), 1)
+                    vj = jnp.where(lane < seq_k, vj, jnp.zeros_like(vj))
+
+                eb = e.astype(vT_ref.dtype)
+                lsum_ref[...] += jnp.sum(e, axis=0, keepdims=True)
+                acc_ref[...] += jax.lax.dot_general(
+                    vj, eb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )                                              # (d, block_q)
+
+            if causal:
+                # sub-tile-granular causal skip: tiles fully above the
+                # diagonal cost no MXU/VPU work (cu:1178's early exit)
+                pl.when(q_last >= col0)(_sub)
+            else:
+                _sub()
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        inv_l = 1.0 / jnp.maximum(lsum_ref[...], EPS)          # (1, block_q)
+        oT_ref[0, 0] = (acc_ref[...] * inv_l).astype(out_dtype)
+        lT_ref[0, 0] = inv_l
+
+
+def _forward_transposed(
+    q, k, v, mask, *, scale, causal, block_q, block_k, interpret, s_dequant,
+):
+    """Launch the transposed kernel; returns (o, inv_l (b,h,i,1))."""
+    b, h, seq_q, d = q.shape
+    kvh = k.shape[1]
+    seq_k = k.shape[2]
+    q_per_kv = h // kvh
+
+    bq_d, bko_d, bki_d = pick_fwd_blocks_t(q.dtype, d, seq_q, seq_k)
+    # public block overrides keep their row-major meaning: block_q is the
+    # Q tile, block_k bounds BOTH K windows
+    bq = block_q or bq_d
+    bko = block_k or bko_d
+    bki = min(block_k or bki_d, bko)
+    nq = pl.cdiv(seq_q, bq)
+    nk = pl.cdiv(seq_k, bko)
+
+    qT = q.swapaxes(-1, -2)   # (b, h, d, i) — XLA folds these relayouts
+    vT = v.swapaxes(-1, -2)   # (b, kvh, d, j)
+
+    kv_head = (lambda hi: hi) if kvh == h else (lambda hi: hi // q_per_kv)
+
+    seq_len_diff = seq_k - seq_q
+    if causal:
+        def clamp_k(qi, ki):
+            last_k = jnp.clip(
+                (qi * bq + bq - 1 + seq_len_diff) // bko, 0, nk - 1)
+            return jnp.minimum(ki, last_k)
+    else:
+        clamp_k = lambda qi, ki: ki
+
+    in_specs = [
+        pl.BlockSpec((1, 1, d, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, 1, bko, d),
+                     lambda bi, hi, qi, ki: (bi, kv_head(hi),
+                                             clamp_k(qi, ki), 0)),
+        pl.BlockSpec((1, 1, d, bko),
+                     lambda bi, hi, qi, ki: (bi, kv_head(hi), 0,
+                                             clamp_k(qi, ki))),
+    ]
+    args = [qT, k, vT]
+    has_mask = mask is not None
+    if has_mask:
+        # (b, j, 1) f32: key-mask values ride the sublanes
+        args.append(mask.astype(jnp.float32)[:, :, None])
+        in_specs.append(
+            pl.BlockSpec((1, bko, 1),
+                         lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki), 0)))
+
+    out_dtype = v.dtype if q.dtype == jnp.int8 else q.dtype
+    kernel = functools.partial(
+        _fwd_kernel_t,
+        scale=float(scale), causal=causal, seq_q=seq_q, seq_k=seq_k,
+        block_q=bq, bko=bko, bki=bki, has_mask=has_mask,
+        out_dtype=out_dtype,
+        precision=(jax.lax.Precision.HIGHEST
+                   if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT),
+        s_dequant=float(s_dequant),
+    )
+
+    oT, lT = pl.pallas_call(
+        kernel,
+        grid=(b, h, nq, nk),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, d, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, d, seq_q), out_dtype),
+            jax.ShapeDtypeStruct((b, h, 1, seq_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, bq), jnp.float32),
+            pltpu.VMEM((1, bq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return oT.swapaxes(-1, -2), lT.swapaxes(-1, -2)
 
 
 def _fwd_kernel(
@@ -116,9 +343,13 @@ def _fwd_kernel(
         # with the log2(e) factor pre-folded into the (compile-time) scale:
         # the VPU's transcendental unit is base-2, so jnp.exp(x) lowers to
         # exp2(x * log2e) — pre-scaling saves one VPU multiply per element
-        # on the hottest tensor in the kernel.
+        # on the hottest tensor in the kernel.  The reference's ``- scale``
+        # shift (cu:1216) is DROPPED entirely: a constant factor on every
+        # exp-weight cancels in O = acc / rowsum (possible only because
+        # there is no running row-max), and the backward recomputes P with
+        # the same convention.
         log2e = 1.4426950408889634
-        logits2 = s * (scale * log2e * s_dequant) - (scale * log2e)
+        logits2 = s * (scale * log2e * s_dequant)
         if has_bias:
             logits2 = logits2 + bias_ref[0].astype(jnp.float32) * log2e
         e = jnp.exp2(logits2)
@@ -212,6 +443,16 @@ def flash_attention_forward(
     assert v.shape == k.shape
     assert h % kvh == 0, (h, kvh)  # 1 (MQA) ... h (MHA), anything between (GQA)
     q_per_kv = h // kvh
+
+    if bias is None:
+        # hot path: the transposed kernel (full-rate PV on the MXU).  The
+        # bias path keeps the row-major kernel — a (b|h, i, j) bias would
+        # need a j-major relayout costing a full HBM round-trip of the
+        # largest tensor in the problem.
+        return _forward_transposed(
+            q, k, v, mask, scale=scale, causal=causal, block_q=block_q,
+            block_k=block_k, interpret=interpret, s_dequant=s_dequant,
+        )
 
     bq_d, bk_d = pick_block_sizes(q.dtype, d, seq_q, seq_k)
     block_q = block_q or bq_d
