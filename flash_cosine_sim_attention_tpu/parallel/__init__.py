@@ -1,3 +1,10 @@
+from .distributed import (
+    initialize_distributed,
+    local_batch_to_global,
+    make_multihost_mesh,
+    process_local_rows,
+    run_multiprocess_cpu_dryrun,
+)
 from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh, sharding
 from .ring_attention import ring_flash_cosine_sim_attention
 from .sharded_attention import head_sharded_flash_attention
@@ -16,6 +23,11 @@ from .train import (
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "initialize_distributed",
+    "local_batch_to_global",
+    "make_multihost_mesh",
+    "process_local_rows",
+    "run_multiprocess_cpu_dryrun",
     "cache_shardings",
     "make_mesh",
     "sharding",

@@ -1,32 +1,38 @@
-"""Training-throughput benchmark: tokens/s for the sharded train step.
+"""Training-throughput scaling benchmark: tokens/s + scaling efficiency.
 
-On one chip this measures single-device throughput; on a multi-chip
-slice the same script measures scaling efficiency (tokens/s vs the
-1-chip number — north-star target: >= 85% at 2+ hosts).  The mesh shape
-is picked by make_mesh (TP within a host's ICI domain, DP across).
+On one chip this measures single-device throughput and can persist it as
+the scaling baseline (``--save-baseline``); on a multi-chip/multi-host
+run the same script loads that baseline and prints the north-star
+scaling-efficiency number:
+
+    efficiency = (tokens/s) / (n_devices * baseline_tokens_per_device)
+
+(target: >= 85% at 2+ hosts).  Multi-host: launch one process per host
+with identical flags plus --coordinator/--num-processes/--process-id;
+batches are fed per-process via jax.make_array_from_process_local_data.
 
 Usage:
-  python tools/bench_scaling.py [--seq-len 1024] [--batch-per-device 4]
-                                [--model-parallel N] [--steps 20]
+  # 1-chip baseline
+  python tools/bench_scaling.py --save-baseline
+  # scaled run (any device/process count)
+  python tools/bench_scaling.py [--model-parallel N]
+      [--coordinator host:port --num-processes P --process-id I]
 """
 
 import argparse
+import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from flash_cosine_sim_attention_tpu.models import CosineSimCausalTransformer
-from flash_cosine_sim_attention_tpu.parallel import (
-    make_mesh,
-    make_sharded_train_step,
-    shard_params,
-)
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), "scaling_baseline.json")
 
 
 def main():
@@ -37,12 +43,44 @@ def main():
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--model-parallel", type=int, default=None)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--save-baseline", action="store_true",
+                    help="store tokens/s/device as the scaling baseline")
+    ap.add_argument("--baseline-file", type=str, default=BASELINE_PATH)
+    ap.add_argument("--coordinator", type=str, default="")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=-1)
     args = ap.parse_args()
 
+    from flash_cosine_sim_attention_tpu.models import (
+        CosineSimCausalTransformer,
+    )
+    from flash_cosine_sim_attention_tpu.parallel import (
+        initialize_distributed,
+        local_batch_to_global,
+        make_mesh,
+        make_multihost_mesh,
+        make_sharded_train_step,
+        process_local_rows,
+        shard_opt_state,
+        shard_params,
+    )
+
+    distributed = args.num_processes > 1
+    if distributed:
+        initialize_distributed(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes,
+            process_id=args.process_id if args.process_id >= 0 else None,
+        )
+    is_main = jax.process_index() == 0
+
     n_dev = len(jax.devices())
-    mesh = make_mesh(n_dev, model_parallel=args.model_parallel)
+    if distributed:
+        mesh = make_multihost_mesh(model_parallel=args.model_parallel)
+    else:
+        mesh = make_mesh(n_dev, model_parallel=args.model_parallel)
     data_par = mesh.shape["data"]
-    batch = args.batch_per_device * data_par
+    batch = args.batch_per_device * n_dev
 
     model = CosineSimCausalTransformer(
         num_tokens=256, dim=args.dim, depth=args.depth,
@@ -50,10 +88,20 @@ def main():
         pre_norm=True, dtype=jnp.bfloat16, mesh=mesh)
 
     rng = jax.random.PRNGKey(0)
-    x = jax.random.randint(rng, (batch, args.seq_len + 1), 0, 256)
-    params = shard_params(model.init(rng, x, return_loss=True), mesh)
+    L = args.seq_len + 1
+    if distributed:
+        local_rows = process_local_rows(batch)
+        np_rng = np.random.default_rng(7 + jax.process_index())
+        make_batch = lambda: local_batch_to_global(
+            mesh, np_rng.integers(0, 256, (local_rows, L)).astype(np.int32))
+        init_x = make_batch()
+    else:
+        x = jax.random.randint(rng, (batch, L), 0, 256)
+        make_batch = lambda: x
+        init_x = x
+    params = shard_params(model.init(rng, init_x, return_loss=True), mesh)
     tx = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(2e-4))
-    opt_state = tx.init(params)
+    opt_state = shard_opt_state(tx, tx.init(params), params, mesh)
     step = make_sharded_train_step(model, tx, mesh)
 
     # warm up (compile) then time; two steps: the first step's outputs
@@ -61,6 +109,7 @@ def main():
     # inputs, so the second call compiles once more before stabilizing.
     # Completion is forced with a device-to-host scalar fetch —
     # block_until_ready does NOT await execution on the tunneled backend.
+    x = make_batch()
     for _ in range(2):
         params, opt_state, loss = step(params, opt_state, x)
         float(loss)
@@ -77,13 +126,38 @@ def main():
     n_short = max(args.steps // 3, 1)
     (t_short, _), (t_long, loss_f) = run(n_short), run(args.steps)
     dt = (t_long - t_short) / (args.steps - n_short)
+    tok_s = batch * args.seq_len / dt
+    per_dev = tok_s / n_dev
 
-    print(f"devices={n_dev} mesh=(data={data_par}, "
-          f"model={mesh.shape['model']}) batch={batch} "
-          f"seq={args.seq_len}")
+    if not is_main:
+        return
+
+    print(f"devices={n_dev} processes={jax.process_count()} "
+          f"mesh=(data={data_par}, model={mesh.shape['model']}) "
+          f"batch={batch} seq={args.seq_len}")
     print(f"step time: {dt * 1e3:.2f} ms   "
-          f"throughput: {batch * args.seq_len / dt:,.0f} tokens/s   "
-          f"loss={loss_f:.4f}")
+          f"throughput: {tok_s:,.0f} tokens/s "
+          f"({per_dev:,.0f}/device)   loss={loss_f:.4f}")
+
+    if args.save_baseline:
+        with open(args.baseline_file, "w") as f:
+            json.dump({"tokens_per_sec_per_device": per_dev,
+                       "devices": n_dev, "seq_len": args.seq_len,
+                       "batch_per_device": args.batch_per_device,
+                       "dim": args.dim, "depth": args.depth}, f)
+        print(f"baseline saved to {args.baseline_file}")
+    elif os.path.exists(args.baseline_file):
+        with open(args.baseline_file) as f:
+            base = json.load(f)
+        same_cfg = all(
+            base.get(k) == v for k, v in
+            [("seq_len", args.seq_len),
+             ("batch_per_device", args.batch_per_device),
+             ("dim", args.dim), ("depth", args.depth)])
+        eff = per_dev / base["tokens_per_sec_per_device"]
+        note = "" if same_cfg else "  [baseline config differs!]"
+        print(f"scaling efficiency vs {base['devices']}-device baseline: "
+              f"{eff:.1%}{note}")
 
 
 if __name__ == "__main__":

@@ -100,12 +100,44 @@ def main():
                     help="shard over a (data, model) mesh (0 = single "
                          "device); heads/MLP shard over `model`, batch "
                          "over `data`")
+    ap.add_argument("--coordinator", type=str, default="",
+                    help="multi-host: coordinator address host:port "
+                         "(empty = auto-detect on TPU pods)")
+    ap.add_argument("--num-processes", type=int, default=1,
+                    help="multi-host: total process count (1 = single "
+                         "process)")
+    ap.add_argument("--process-id", type=int, default=-1,
+                    help="multi-host: this process's id (-1 = auto)")
     args = ap.parse_args()
 
     dtype = jnp.float32 if args.use_float32 else jnp.bfloat16
 
+    distributed = args.num_processes > 1
+    if distributed:
+        from flash_cosine_sim_attention_tpu.parallel import (
+            initialize_distributed,
+        )
+
+        initialize_distributed(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes,
+            process_id=args.process_id if args.process_id >= 0 else None,
+        )
+
+    is_main = jax.process_index() == 0
+
     mesh = None
-    if args.model_parallel > 1:
+    if distributed:
+        from flash_cosine_sim_attention_tpu.parallel import (
+            make_multihost_mesh,
+        )
+
+        mesh = make_multihost_mesh(
+            model_parallel=args.model_parallel or None)
+        if is_main:
+            print(f"processes: {jax.process_count()}  mesh: "
+                  f"data={mesh.shape['data']} model={mesh.shape['model']}")
+    elif args.model_parallel > 1:
         from flash_cosine_sim_attention_tpu.parallel import make_mesh
 
         mesh = make_mesh(model_parallel=args.model_parallel)
@@ -126,7 +158,9 @@ def main():
         mesh=mesh,
     )
 
-    sampler = make_sampler(seed=args.seed)
+    # per-process sampling streams (multi-host: each process draws only
+    # its own rows; the streams are decorrelated by the process index)
+    sampler = make_sampler(seed=args.seed + 1009 * jax.process_index())
     rng = jax.random.PRNGKey(args.seed)
 
     init_batch = jnp.asarray(
@@ -161,6 +195,29 @@ def main():
         # --model-parallel resume; tx.init here would discard them)
         opt_state = shard_opt_state(tx, opt_state, params, mesh)
 
+    if distributed:
+        from flash_cosine_sim_attention_tpu.parallel import (
+            local_batch_to_global,
+            process_local_rows,
+        )
+
+        local_bs = process_local_rows(args.batch_size)
+
+        def make_batches(rows):
+            """(GRAD_ACCUM*local_bs, L) local rows -> global sharded
+            (GRAD_ACCUM, batch, L); the microbatch axis is unsharded."""
+            L = args.seq_len + 1
+            return local_batch_to_global(
+                mesh, rows.reshape(GRAD_ACCUM, local_bs, L), batch_axis=1)
+
+        def make_eval_batch(rows):
+            return local_batch_to_global(mesh, rows, batch_axis=0)
+    else:
+        local_bs = args.batch_size
+        make_batches = lambda rows: jnp.asarray(rows).reshape(
+            GRAD_ACCUM, args.batch_size, args.seq_len + 1)
+        make_eval_batch = jnp.asarray
+
     @jax.jit
     def train_step(params, opt_state, batches):
         """One optimizer step over GRAD_ACCUM microbatches (train.py:106-110)."""
@@ -181,13 +238,12 @@ def main():
 
     t_start = time.time()
     train_stream = sampler.stream(
-        "train", GRAD_ACCUM * args.batch_size, args.seq_len)
+        "train", GRAD_ACCUM * local_bs, args.seq_len)
     for step in range(start_step, args.steps):
-        batches = jnp.asarray(next(train_stream)).reshape(
-            GRAD_ACCUM, args.batch_size, args.seq_len + 1)
+        batches = make_batches(next(train_stream))
         params, opt_state, loss = train_step(params, opt_state, batches)
 
-        if step % 10 == 0:
+        if step % 10 == 0 and is_main:
             loss = float(loss)
             bpb = loss / np.log(2)
             toks = (step + 1) * GRAD_ACCUM * args.batch_size * args.seq_len
@@ -196,17 +252,24 @@ def main():
                   f"tok/s {rate:,.0f}", flush=True)
 
         if step % VALIDATE_EVERY == 0 and step > 0:
-            vb = jnp.asarray(
-                sampler.sample("valid", args.batch_size, args.seq_len))
+            vb = make_eval_batch(
+                sampler.sample("valid", local_bs, args.seq_len))
             vl = float(eval_step(params, vb))
-            print(f"valid loss {vl:.4f}  valid bpb {vl/np.log(2):.4f}",
-                  flush=True)
+            if is_main:
+                print(f"valid loss {vl:.4f}  valid bpb {vl/np.log(2):.4f}",
+                      flush=True)
 
         if (args.checkpoint_dir and step > 0
                 and step % args.checkpoint_every == 0):
             save_checkpoint(args.checkpoint_dir, step, params, opt_state)
-            print(f"checkpoint saved at step {step}", flush=True)
+            if is_main:
+                print(f"checkpoint saved at step {step}", flush=True)
 
+        if step % GENERATE_EVERY == 0 and step > 0 and distributed:
+            # autoregressive sampling is a data-dependent host loop; skip
+            # it under SPMD multi-process (every process would have to
+            # run it in lockstep for no benefit)
+            continue
         if step % GENERATE_EVERY == 0 and step > 0:
             prime = jnp.asarray(
                 sampler.sample("valid", 1, args.seq_len))[:, :128]
