@@ -162,20 +162,27 @@ def prefill(model: CosineSimCausalTransformer, params, state: DecodeState,
         idx = (true_len - 1)[:, None, None]
         last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
         new_pos = state.pos + true_len
+        # truncate lengths to the TRUE prompt lengths so right-pads are
+        # never attended by later decode steps (the pad K/V rows are
+        # overwritten by the next real append)
+        caches = [c._replace(length=new_pos) for c in caches]
     new_state = DecodeState(tuple(caches), new_pos)
     return last, new_state
 
 
 def decode_step(model: CosineSimCausalTransformer, params,
-                state: DecodeState, token: jax.Array, mesh=None
+                state: DecodeState, token: jax.Array, mesh=None,
+                active: Optional[jax.Array] = None
                 ) -> Tuple[jax.Array, DecodeState]:
     """One decode step: (b,) tokens in, (b, vocab) logits out.
     ``mesh`` routes attention through the head-sharded path (serving TP:
-    the KV cache shards batch->data, kv-heads->model)."""
+    the KV cache shards batch->data, kv-heads->model).  ``active``
+    ((b,) bool, optional) freezes inactive slots' caches and positions —
+    continuous batching with slots mid-prefill riding along."""
     caches = list(state.caches)
 
     def attn(layer, q, k, v):
-        caches[layer] = append(caches[layer], k, v)
+        caches[layer] = append(caches[layer], k, v, active=active)
         if mesh is not None:
             from ..parallel import head_sharded_decode_attention
             o = head_sharded_decode_attention(
@@ -188,7 +195,9 @@ def decode_step(model: CosineSimCausalTransformer, params,
 
     x = _embed(model, params, token[:, None], state.pos)
     logits = _transformer_pass(model, params, x, attn)
-    return logits[:, 0], DecodeState(tuple(caches), state.pos + 1)
+    new_pos = state.pos + (1 if active is None
+                           else active.astype(jnp.int32))
+    return logits[:, 0], DecodeState(tuple(caches), new_pos)
 
 
 def prefill_continue(model: CosineSimCausalTransformer, params,
@@ -326,6 +335,15 @@ def prefill_paged(model: CosineSimCausalTransformer, params,
         idx = (true_len - 1)[:, None, None]
         last = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
         n_new = true_len
+    # truncate the slot's length to the TRUE prompt length: append_paged
+    # advanced it by the full bucket-padded width, and pad positions must
+    # never be attended by later decode steps (their K/V rows are
+    # overwritten by the next real append)
+    caches = [
+        c._replace(length=jax.lax.dynamic_update_slice_in_dim(
+            c.length, n_new, slot, 0))
+        for c in caches
+    ]
     pos = jax.lax.dynamic_update_slice_in_dim(state.pos, n_new, slot, 0)
     return last, PagedDecodeState(tuple(caches), pos)
 

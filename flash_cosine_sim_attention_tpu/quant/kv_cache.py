@@ -115,14 +115,21 @@ def dequantize_v(v8: jax.Array, v_scale: jax.Array,
     return (v8.astype(jnp.float32) * v_scale).astype(dtype)
 
 
-def append(cache: QuantKVCache, k_norm: jax.Array, v: jax.Array
-           ) -> QuantKVCache:
+def append(cache: QuantKVCache, k_norm: jax.Array, v: jax.Array,
+           active=None) -> QuantKVCache:
     """Append a (b, kvh, t, d) chunk of NEW tokens (t=1 for decode) at each
     slot's own write offset.
 
     ``k_norm`` must already be l2-normalized (grouped norms included —
     quantization only assumes components in [-1, 1], true for any group
     size).
+
+    ``active`` (optional (b,) bool) supports continuous batching: an
+    inactive slot's length does not advance, so its ride-along write
+    lands at its current length — beyond the valid region, overwritten
+    by the slot's next real append (the caller guarantees
+    length + t <= capacity, else dynamic_update_slice would clamp the
+    write back over valid entries).
     """
     t = k_norm.shape[2]
     kv_dtype = cache.k8.dtype
@@ -133,4 +140,6 @@ def append(cache: QuantKVCache, k_norm: jax.Array, v: jax.Array
     v8_new, vs_new = quantize_v(v, kv_dtype)
     v8 = upd(cache.v8, v8_new, cache.length)
     v_scale = upd(cache.v_scale, vs_new, cache.length)
-    return QuantKVCache(k8, v8, v_scale, cache.length + t)
+    new_len = cache.length + (t if active is None
+                              else t * active.astype(jnp.int32))
+    return QuantKVCache(k8, v8, v_scale, new_len)

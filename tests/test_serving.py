@@ -138,3 +138,48 @@ def test_continue_padded_width_guard(setup):
     # n=50 fits raw (100+50 <= 160) but buckets to 128: 100+128 > 160
     with pytest.raises(RuntimeError, match="capacity"):
         eng.continue_request(0, np.arange(50) % 64)
+
+
+def test_chunked_prefill_matches_one_shot(setup):
+    """Chunked admission (prompt streamed in chunks interleaved with decode
+    steps) must produce the same greedy continuation as one-shot prefill,
+    and must not disturb an in-flight request."""
+    model, params = setup
+    pa = np.arange(9) % 64
+    pb = (np.arange(40) * 5) % 64   # 3 chunks of 16
+
+    def solo(prompt, steps):
+        e = InferenceEngine(model, params, num_slots=4, capacity=256,
+                            prompt_buckets=(16, 32, 64),
+                            temperature=1e-4, seed=42)
+        s = e.add_request(prompt)
+        toks = [int(e.last_token[s])]
+        for _ in range(steps - 1):
+            toks.append(e.step()[s])
+        return toks
+
+    ref_b = solo(pb, 4)
+    ref_a = solo(pa, 9)
+
+    eng = InferenceEngine(model, params, num_slots=4, capacity=256,
+                          prompt_buckets=(16, 32, 64),
+                          temperature=1e-4, seed=42)
+    sa = eng.add_request(pa)
+    got_a = [int(eng.last_token[sa])]
+    got_a.append(eng.step()[sa])
+
+    sb = eng.add_request(pb, chunk_tokens=16)   # 3 pending chunks
+    assert eng.prefilling[sb] and not eng.active[sb]
+    # decode keeps running while the prompt streams in
+    for _ in range(3):
+        out = eng.step()
+        got_a.append(out[sa])
+        assert sb not in out
+    assert eng.active[sb] and not eng.prefilling[sb]
+    got_b = [int(eng.last_token[sb])]
+    for _ in range(3):
+        out = eng.step()
+        got_a.append(out[sa])
+        got_b.append(out[sb])
+    assert got_b == ref_b, (got_b, ref_b)
+    assert got_a == ref_a[:len(got_a)], (got_a, ref_a)

@@ -49,7 +49,13 @@ def main():
     ap.add_argument("--coordinator", type=str, default="")
     ap.add_argument("--num-processes", type=int, default=1)
     ap.add_argument("--process-id", type=int, default=-1)
+    ap.add_argument("--ring-probe", action="store_true",
+                    help="ring-attention fwd+bwd perf probe over all "
+                         "devices (reports per-hop ICI bytes)")
     args = ap.parse_args()
+
+    if args.ring_probe:
+        return ring_probe(args)
 
     from flash_cosine_sim_attention_tpu.models import (
         CosineSimCausalTransformer,
@@ -158,6 +164,56 @@ def main():
         note = "" if same_cfg else "  [baseline config differs!]"
         print(f"scaling efficiency vs {base['devices']}-device baseline: "
               f"{eff:.1%}{note}")
+
+
+def ring_probe(args):
+    """Ring attention fwd+bwd over all devices: ms/step + per-hop bytes.
+
+    The dk/dv accumulators travel in the INPUT dtype, so a bf16 run
+    moves half the grad bytes per hop of an f32 run (r1 VERDICT weak #6).
+    """
+    import time as _time
+
+    from jax.sharding import Mesh
+    from flash_cosine_sim_attention_tpu.parallel.ring_attention import (
+        ring_flash_cosine_sim_attention,
+    )
+
+    devs = jax.devices()
+    n_dev = len(devs)
+    mesh = Mesh(np.array(devs), ("seq",))
+    b, d = 2, 64
+    n_local = args.seq_len
+    rng = np.random.default_rng(0)
+
+    for dtype in (jnp.bfloat16, jnp.float32):
+        q, k, v = (jnp.asarray(
+            rng.standard_normal((b, 8, n_local * n_dev, d)), dtype)
+            for _ in range(3))
+
+        def loss(q, k, v):
+            o = ring_flash_cosine_sim_attention(q, k, v, mesh, causal=True)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        out = g(q, k, v)
+        float(jnp.sum(out[0].astype(jnp.float32)))  # force completion
+        t0 = _time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = g(q, k, v)
+        float(jnp.sum(out[0].astype(jnp.float32)))
+        dt = (_time.perf_counter() - t0) / reps
+
+        esize = jnp.dtype(dtype).itemsize
+        shard = b * 8 * n_local * d
+        kv_bytes = 2 * shard * esize            # k + v rotate (fwd & bwd)
+        grad_bytes = 2 * shard * esize          # dk + dv (input dtype)
+        print(f"ring {jnp.dtype(dtype).name}: {n_dev} devices x "
+              f"{n_local} local seq  fwd+bwd {dt*1e3:.1f} ms/step   "
+              f"per-hop bytes: fwd {kv_bytes/1e6:.2f} MB, "
+              f"bwd {(kv_bytes+grad_bytes)/1e6:.2f} MB "
+              f"(grads ride in {jnp.dtype(dtype).name})")
 
 
 if __name__ == "__main__":
