@@ -65,6 +65,30 @@ def pick_block_sizes(dtype, head_dim: int, seq_q: int, seq_k: int,
     return block_q, block_k
 
 
+def pick_bwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
+    """(block_own, block_other_outer, block_other_inner) for the
+    TRANSPOSED backward kernels.
+
+    The dQ kernel owns a q block (lanes) and streams K/V in big outer
+    blocks; the dKdV kernel owns a k block (lanes) and streams Q/dO.
+    Sub-tiling bounds the live f32 score tiles (two per step: s^T and
+    dP^T).  FCSA_BWD_BQ/BKO/BKI override.
+    """
+    import os
+
+    env = [os.environ.get("FCSA_BWD_" + k) for k in ("BQ", "BKO", "BKI")]
+    if all(env):
+        bo, bko, bki = (int(x) for x in env)
+    elif dtype == jnp.float32:
+        bo, bko, bki = 512, 1024, 512
+    else:
+        bo, bko, bki = 512, 2048, 512
+    bo = min(bo, _round_up(max(seq_q, 1), 128))
+    bko = min(bko, _round_up(max(seq_k, 1), 128))
+    bki = min(bki, bko)
+    return bo, bko, bki
+
+
 def pick_fwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
     """(block_q, block_k_outer, block_k_inner) for the TRANSPOSED forward.
 

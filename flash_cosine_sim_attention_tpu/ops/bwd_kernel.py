@@ -47,7 +47,249 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .blocks import pick_block_sizes
+from .blocks import pick_block_sizes, pick_bwd_blocks_t
+
+LOG2E = 1.4426950408889634
+
+
+def _dq_kernel_t(
+    *refs,
+    scale, causal, seq_q, seq_k, block_q, bko, bki, has_mask, out_dtype,
+    precision,
+):
+    """Transposed dQ: all tiles in (k-rows, q-lanes) orientation.
+
+    s^T = K Q^T and dP^T = V dO^T keep the unavoidable d-deep contraction
+    (half-filled MXU at d=64); dQ^T = K^T dS^T runs at FULL MXU rate
+    (contraction bki, lanes block_q) where the row-major kernel's dS @ K
+    paid the d-wide-lanes penalty.  Same big-outer-block + sub-tile
+    structure as the transposed forward.
+    """
+    idx = 0
+    qT_ref = refs[idx]; idx += 1          # (1, 1, d, block_q)
+    k_ref = refs[idx]; idx += 1           # (1, 1, bko, d)
+    v_ref = refs[idx]; idx += 1           # (1, 1, bko, d)
+    doT_ref = refs[idx]; idx += 1         # (1, 1, d, block_q)
+    deltaT_ref = refs[idx]; idx += 1      # (1, 1, 1, block_q)
+    invlT_ref = refs[idx]; idx += 1       # (1, 1, 1, block_q)
+    mask_ref = None
+    if has_mask:
+        mask_ref = refs[idx]; idx += 1    # (1, bko, 1) f32
+    dqT_ref, dq_acc = refs[idx], refs[idx + 1]   # acc: (d, block_q) f32
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+    seq_len_diff = seq_k - seq_q
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q_last = qi * block_q + block_q - 1 + seq_len_diff
+    run = (q_last >= ki * bko) if causal else True
+
+    @pl.when(run)
+    def _tile():
+        c = scale * LOG2E
+        qT = (qT_ref[0, 0].astype(jnp.float32) * c).astype(qT_ref.dtype)
+        doT = doT_ref[0, 0]
+        inv_l = invlT_ref[0, 0]           # (1, block_q)
+        delta = deltaT_ref[0, 0]          # (1, block_q)
+        row = qi * block_q + seq_len_diff + jax.lax.broadcasted_iota(
+            jnp.int32, (bki, block_q), 1)
+
+        n_sub = bko // bki
+        for j in range(n_sub):
+            col0 = ki * bko + j * bki
+            edge_possible = (nk - 1) * bko + (j + 1) * bki > seq_k
+
+            def _sub(j=j, col0=col0, edge_possible=edge_possible):
+                kj = k_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
+                vj = v_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
+                sT = jax.lax.dot_general(
+                    kj, qT, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)                       # (bki, block_q)
+                dpT = jax.lax.dot_general(
+                    vj, doT, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                e = jnp.exp2(sT)
+                p = e * inv_l
+                ds = p * (dpT - delta)
+
+                keep = None
+                col_s = None
+                if edge_possible or causal:
+                    col_s = col0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (bki, block_q), 0)
+                if edge_possible:
+                    keep = col_s < seq_k
+                if causal:
+                    sub_interior = col0 + bki - 1 <= (
+                        qi * block_q + seq_len_diff)
+                    cc = jnp.logical_or(sub_interior, col_s <= row)
+                    keep = cc if keep is None else keep & cc
+                if has_mask:
+                    km = mask_ref[0, j * bki:(j + 1) * bki] > 0
+                    keep = km if keep is None else keep & km
+                if keep is not None:
+                    ds = jnp.where(keep, ds, 0.0)
+                # K's OOB rows multiply only zeroed ds rows, but garbage
+                # can be non-finite: zero them
+                if edge_possible and seq_k % bki != 0:
+                    k_rows = col0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (bki, 1), 0)
+                    kj = jnp.where(k_rows < seq_k, kj, jnp.zeros_like(kj))
+
+                dq_acc[...] += jax.lax.dot_general(
+                    kj, ds.astype(kj.dtype), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)                       # (d, block_q)
+
+            if causal:
+                pl.when(q_last >= col0)(_sub)
+            else:
+                _sub()
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dqT_ref[0, 0] = (dq_acc[...] * scale).astype(out_dtype)
+
+
+def _dkdv_kernel_t(
+    *refs,
+    scale, causal, seq_q, seq_k, block_k, bqo, bqi, has_mask, q_per_kv,
+    out_dtype, precision,
+):
+    """Transposed dKdV: tiles in (k-rows, q-lanes) orientation.
+
+    dV^T = dO^T P^T and dK^T = Q^T dS^T run at FULL MXU rate (the
+    row-major versions' P^T dO / dS^T Q paid d-wide output lanes); only
+    the s^T / dP^T recomputes keep the d-deep contraction penalty.
+    Grid (b, nk, h, nq_outer) with (h, q) innermost so a KV head's
+    accumulators survive its whole query-head group (GQA / MQA).
+    """
+    idx = 0
+    qT_ref = refs[idx]; idx += 1          # (1, 1, d, bqo)
+    k_ref = refs[idx]; idx += 1           # (1, 1, block_k, d)
+    v_ref = refs[idx]; idx += 1           # (1, 1, block_k, d)
+    doT_ref = refs[idx]; idx += 1         # (1, 1, d, bqo)
+    deltaT_ref = refs[idx]; idx += 1      # (1, 1, 1, bqo)
+    invlT_ref = refs[idx]; idx += 1       # (1, 1, 1, bqo)
+    mask_ref = None
+    if has_mask:
+        mask_ref = refs[idx]; idx += 1    # (1, block_k, 1)
+    dkT_ref, dvT_ref, dk_acc, dv_acc = refs[idx : idx + 4]  # (d, block_k)
+
+    # grid = (b, k_blocks, h, q_outer_blocks)
+    ki = pl.program_id(1)
+    hi = pl.program_id(2)
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+    seq_len_diff = seq_k - seq_q
+
+    is_first = (qi == 0) & ((hi % q_per_kv == 0) if q_per_kv > 1 else True)
+    is_last = (qi == nq - 1) & (
+        (hi % q_per_kv == q_per_kv - 1) if q_per_kv > 1 else True)
+
+    @pl.when(is_first)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    # the whole outer q block is above the diagonal -> nothing to do
+    run = (qi * bqo + bqo - 1 + seq_len_diff >= ki * block_k) \
+        if causal else True
+
+    @pl.when(run)
+    def _tile():
+        c = scale * LOG2E
+        k = k_ref[0, 0]                   # (block_k, d)
+        col_k = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, bqi), 0)
+
+        n_sub = bqo // bqi
+        for j in range(n_sub):
+            q0 = qi * bqo + j * bqi
+            q_edge = (nq - 1) * bqo + (j + 1) * bqi > seq_q
+
+            def _sub(j=j, q0=q0, q_edge=q_edge):
+                qTj_raw = qT_ref[0, 0, :, j * bqi:(j + 1) * bqi]  # (d, bqi)
+                doTj = doT_ref[0, 0, :, j * bqi:(j + 1) * bqi]
+                if q_edge and seq_q % bqi != 0:
+                    # zero Q/dO's OOB lanes: they CONTRACT into dk/dv and
+                    # 0 * garbage = NaN otherwise
+                    lane_q = q0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, bqi), 1)
+                    in_b = lane_q < seq_q
+                    qTj_raw = jnp.where(in_b, qTj_raw,
+                                        jnp.zeros_like(qTj_raw))
+                    doTj = jnp.where(in_b, doTj, jnp.zeros_like(doTj))
+                qTj = (qTj_raw.astype(jnp.float32) * c).astype(qT_ref.dtype)
+                inv_l = invlT_ref[0, 0, :, j * bqi:(j + 1) * bqi]
+                delta = deltaT_ref[0, 0, :, j * bqi:(j + 1) * bqi]
+
+                sT = jax.lax.dot_general(
+                    k, qTj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)                      # (block_k, bqi)
+                dpT = jax.lax.dot_general(
+                    v_ref[0, 0], doTj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                e = jnp.exp2(sT)
+                p = e * inv_l
+                ds = p * (dpT - delta)
+
+                # q-side bounds: OOB q lanes carry garbage inv_l/delta
+                # (possibly non-finite) that would poison dk/dv through
+                # the contraction over q
+                keep = None
+                row_q = None
+                if q_edge or causal:
+                    row_q = q0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (block_k, bqi), 1)
+                if q_edge:
+                    keep = row_q < seq_q
+                if causal:
+                    sub_interior = (ki * block_k + block_k - 1
+                                    <= q0 + seq_len_diff)
+                    cc = jnp.logical_or(sub_interior,
+                                        col_k <= row_q + seq_len_diff)
+                    keep = cc if keep is None else keep & cc
+                if has_mask:
+                    km = mask_ref[0] > 0                      # (block_k, 1)
+                    keep = km if keep is None else keep & km
+                if keep is not None:
+                    p2 = jnp.where(keep, p, 0.0)
+                    ds2 = jnp.where(keep, ds, 0.0)
+                else:
+                    p2, ds2 = p, ds
+
+                dv_acc[...] += jax.lax.dot_general(
+                    doTj, p2.astype(doTj.dtype), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)                      # (d, block_k)
+                dk_acc[...] += jax.lax.dot_general(
+                    qTj_raw, ds2.astype(qTj_raw.dtype),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)                      # (d, block_k)
+
+            if causal:
+                # q sub-tiles whose LAST row is above this k block see
+                # nothing of it
+                pl.when(q0 + bqi - 1 + seq_len_diff
+                        >= ki * block_k)(_sub)
+            else:
+                _sub()
+
+    @pl.when(is_last)
+    def _finalize():
+        dkT_ref[0, 0] = (dk_acc[...] * scale).astype(out_dtype)
+        dvT_ref[0, 0] = dv_acc[...].astype(out_dtype)
 
 
 def _recompute_p_and_ds(
@@ -85,6 +327,147 @@ def _recompute_p_and_ds(
         p = jnp.where(keep, p, 0.0)
         ds = jnp.where(keep, ds, 0.0)
     return p, ds
+
+
+def _backward_transposed(
+    do, o, inv_l, q, k, v, mask, *, scale, causal,
+    block_q, block_k, interpret,
+):
+    """Transposed no-bias backward; returns (dq, dk, dv)."""
+    b, h, seq_q, d = q.shape
+    kvh = k.shape[1]
+    seq_k = k.shape[2]
+    q_per_kv = h // kvh
+
+    bo_d, bko_d, bki_d = pick_bwd_blocks_t(q.dtype, d, seq_q, seq_k)
+    bq = block_q or bo_d           # owned-block lane width (both kernels)
+    bko = block_k or bko_d         # streamed outer block
+    bki = min(block_k or bki_d, bko)
+    bk_own = bq                    # dKdV's owned k block (lanes)
+    nq = pl.cdiv(seq_q, bq)
+    nk = pl.cdiv(seq_k, bko)
+    nko = pl.cdiv(seq_k, bk_own)
+    nqo = pl.cdiv(seq_q, bko)      # dKdV streams q in bko-outer blocks
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+        keepdims=True)
+    deltaT = delta.swapaxes(-1, -2)     # (b, h, 1, i)
+    invlT = inv_l.swapaxes(-1, -2)      # (b, h, 1, i)
+    qT = q.swapaxes(-1, -2)             # (b, h, d, i)
+    doT = do.swapaxes(-1, -2)
+
+    has_mask = mask is not None
+    mask_s = mask.astype(jnp.float32)[:, :, None] if has_mask else None
+    precision = (jax.lax.Precision.HIGHEST
+                 if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    kv_head = (lambda hi: hi) if kvh == h else (lambda hi: hi // q_per_kv)
+    seq_len_diff = seq_k - seq_q
+
+    # ---- dQ: grid (b, h, nq, nk); causal DMA elision on the K side ----
+    if causal:
+        def clamp_k(qi, ki):
+            last_k = jnp.clip(
+                (qi * bq + bq - 1 + seq_len_diff) // bko, 0, nk - 1)
+            return jnp.minimum(ki, last_k)
+    else:
+        clamp_k = lambda qi, ki: ki
+
+    dq_specs = [
+        pl.BlockSpec((1, 1, d, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, 1, bko, d),
+                     lambda bi, hi, qi, ki: (bi, kv_head(hi),
+                                             clamp_k(qi, ki), 0)),
+        pl.BlockSpec((1, 1, bko, d),
+                     lambda bi, hi, qi, ki: (bi, kv_head(hi),
+                                             clamp_k(qi, ki), 0)),
+        pl.BlockSpec((1, 1, d, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+    ]
+    dq_args = [qT, k, v, doT, deltaT, invlT]
+    if has_mask:
+        dq_args.append(mask_s)
+        dq_specs.append(
+            pl.BlockSpec((1, bko, 1),
+                         lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki), 0)))
+
+    dqT = pl.pallas_call(
+        functools.partial(
+            _dq_kernel_t, scale=float(scale), causal=causal, seq_q=seq_q,
+            seq_k=seq_k, block_q=bq, bko=bko, bki=bki, has_mask=has_mask,
+            out_dtype=q.dtype, precision=precision),
+        grid=(b, h, nq, nk),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, d, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        out_shape=jax.ShapeDtypeStruct((b, h, d, seq_q), q.dtype),
+        scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(*dq_args)
+
+    # ---- dKdV: grid (b, nko, h, nqo); elide q blocks above diagonal ----
+    if causal:
+        def clamp_q(ki, qi):
+            first_q = jnp.clip(
+                (ki * bk_own - seq_len_diff) // bko, 0, nqo - 1)
+            return jnp.maximum(qi, first_q)
+    else:
+        clamp_q = lambda ki, qi: qi
+
+    dkv_specs = [
+        pl.BlockSpec((1, 1, d, bko),
+                     lambda bi, ki, hi, qi: (bi, hi, 0, clamp_q(ki, qi))),
+        pl.BlockSpec((1, 1, bk_own, d),
+                     lambda bi, ki, hi, qi: (bi, kv_head(hi), ki, 0)),
+        pl.BlockSpec((1, 1, bk_own, d),
+                     lambda bi, ki, hi, qi: (bi, kv_head(hi), ki, 0)),
+        pl.BlockSpec((1, 1, d, bko),
+                     lambda bi, ki, hi, qi: (bi, hi, 0, clamp_q(ki, qi))),
+        pl.BlockSpec((1, 1, 1, bko),
+                     lambda bi, ki, hi, qi: (bi, hi, 0, clamp_q(ki, qi))),
+        pl.BlockSpec((1, 1, 1, bko),
+                     lambda bi, ki, hi, qi: (bi, hi, 0, clamp_q(ki, qi))),
+    ]
+    dkv_args = [qT, k, v, doT, deltaT, invlT]
+    if has_mask:
+        dkv_args.append(mask_s)
+        dkv_specs.append(
+            pl.BlockSpec((1, bk_own, 1),
+                         lambda bi, ki, hi, qi: (bi, ki, 0)))
+
+    kv_out_spec = pl.BlockSpec(
+        (1, 1, d, bk_own), lambda bi, ki, hi, qi: (bi, kv_head(hi), 0, ki))
+    dkT, dvT = pl.pallas_call(
+        functools.partial(
+            _dkdv_kernel_t, scale=float(scale), causal=causal, seq_q=seq_q,
+            seq_k=seq_k, block_k=bk_own, bqo=bko, bqi=bki,
+            has_mask=has_mask, q_per_kv=q_per_kv,
+            out_dtype=k.dtype, precision=precision),
+        grid=(b, nko, h, nqo),
+        in_specs=dkv_specs,
+        out_specs=[kv_out_spec, kv_out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kvh, d, seq_k), k.dtype),
+            jax.ShapeDtypeStruct((b, kvh, d, seq_k), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, bk_own), jnp.float32),
+            pltpu.VMEM((d, bk_own), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel",
+                "parallel" if q_per_kv == 1 else "arbitrary",
+                "arbitrary")),
+        interpret=interpret,
+    )(*dkv_args)
+
+    return (dqT.swapaxes(-1, -2), dkT.swapaxes(-1, -2),
+            dvT.swapaxes(-1, -2))
 
 
 def _dq_kernel(
@@ -425,6 +808,15 @@ def flash_attention_backward(
     seq_k = k.shape[2]
     assert h % kvh == 0, (h, kvh)
     q_per_kv = h // kvh
+
+    if bias is None:
+        # hot path: transposed kernels (full-rate dQ^T/dK^T/dV^T matmuls);
+        # the bias path keeps the row-major kernels for the same j-major
+        # relayout reason as the forward
+        dq, dk, dv = _backward_transposed(
+            do, o, inv_l, q, k, v, mask, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, interpret=interpret)
+        return dq, dk, dv, None
 
     bq_d, bk_d = pick_block_sizes(q.dtype, d, seq_q, seq_k, kind="bwd")
     block_q = block_q or bq_d

@@ -81,8 +81,14 @@ def main():
     # how long the OTHER slots stall
     eng.finish(0)
     prompt = rng_np.integers(0, 256, args.prompt_len)
-    stall0 = time.perf_counter()
     if args.chunked:
+        # warm the chunk shapes once, then measure the steady-state
+        # admission cost
+        slot = eng.add_request(prompt, chunk_tokens=128)
+        while not eng.active[slot]:
+            eng.step()
+        eng.finish(slot)
+        stall0 = time.perf_counter()
         slot = eng.add_request(prompt, chunk_tokens=128)
         steps = 0
         while not eng.active[slot]:
@@ -90,9 +96,12 @@ def main():
             steps += 1
         stall = time.perf_counter() - stall0
         print(f"chunked admission of {args.prompt_len}-token prompt: "
-              f"{stall*1e3:.1f} ms total over {steps} interleaved steps "
-              f"(decode kept running)")
+              f"{stall*1e3:.1f} ms total over {steps} interleaved steps, "
+              f"{(stall/steps - dt/args.steps)*1e3:.1f} ms/step added "
+              f"latency; decode kept running "
+              f"(~{steps * args.slots} tokens decoded during admission)")
     else:
+        stall0 = time.perf_counter()
         eng.add_request(prompt)
         stall = time.perf_counter() - stall0
         print(f"one-shot admission of {args.prompt_len}-token prompt "
