@@ -82,7 +82,10 @@ def pick_bwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
     elif dtype == jnp.float32:
         bo, bko, bki = 512, 1024, 512
     else:
-        bo, bko, bki = 512, 2048, 512
+        # v5e sweep (causal bf16 d=64 @4096, fused fwd+bwd): (512, 4096,
+        # 512) -> 1.40 ms vs 1.56 @bko 2048, 1.62 @bo 1024, 1.65 @bko
+        # 1024, 1.83 @bo 256
+        bo, bko, bki = 512, 4096, 512
     bo = min(bo, _round_up(max(seq_q, 1), 128))
     bko = min(bko, _round_up(max(seq_k, 1), 128))
     bki = min(bki, bko)

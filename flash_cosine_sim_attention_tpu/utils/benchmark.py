@@ -79,7 +79,13 @@ def benchmark(
         def loss(*a):
             return jnp.sum(fn(*a).astype(jnp.float32))
         grads = jax.grad(loss, argnums=grad_argnums)(x, *rest)
-        return grads[0].astype(x.dtype)  # dq chains into next q
+        # dq chains into next q; every OTHER grad must be consumed too,
+        # or XLA dead-code-eliminates its computation (pallas calls are
+        # side-effect-free) — returning only grads[0] silently measured
+        # fwd+dQ without dK/dV
+        extra = sum(jnp.sum(g.astype(jnp.float32)) for g in grads[1:])
+        return (grads[0].astype(jnp.float32)
+                + extra).astype(x.dtype)
 
     def make_loop(step):
         # all operands are explicit jit arguments: a closed-over concrete
