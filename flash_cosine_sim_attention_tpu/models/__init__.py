@@ -1,3 +1,4 @@
+from .speculative import make_speculative_decoder, speculative_generate
 from .transformer import (
     Attention,
     CosineSimCausalTransformer,
@@ -11,5 +12,7 @@ __all__ = [
     "CosineSimCausalTransformer",
     "FeedForward",
     "generate",
+    "make_speculative_decoder",
+    "speculative_generate",
     "top_k_filter",
 ]

@@ -1,0 +1,81 @@
+"""Speculative decoding: greedy exactness vs the target's own greedy
+decode, acceptance accounting, and sampled-mode sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_cosine_sim_attention_tpu.models import CosineSimCausalTransformer
+from flash_cosine_sim_attention_tpu.models.decoding import generate_cached
+from flash_cosine_sim_attention_tpu.models.speculative import (
+    speculative_generate,
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    target = CosineSimCausalTransformer(
+        num_tokens=64, dim=64, depth=2, max_seq_len=256, heads=4,
+        dim_head=16, pre_norm=True, attn_scale=1.0, dtype=jnp.float32)
+    draft = CosineSimCausalTransformer(
+        num_tokens=64, dim=32, depth=1, max_seq_len=256, heads=2,
+        dim_head=16, pre_norm=True, attn_scale=1.0, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(rng, (1, 16), 0, 64)
+    return (target, target.init(rng, x),
+            draft, draft.init(jax.random.PRNGKey(1), x))
+
+
+def _greedy_reference(model, params, prime, n, capacity):
+    """Target-only greedy decode through the cached path."""
+    from flash_cosine_sim_attention_tpu.models.decoding import (
+        decode_step, init_decode_state, prefill,
+    )
+    st = init_decode_state(model, 1, capacity)
+    logits, st = prefill(model, params, st, prime)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    out = [int(tok[0])]
+    for _ in range(n - 1):
+        logits, st = decode_step(model, params, st, tok)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        out.append(int(tok[0]))
+    return out
+
+
+def test_greedy_exactness(models):
+    """Greedy speculative decode must equal the target's greedy decode
+    token-for-token, regardless of the draft model."""
+    target, tp, draft, dp = models
+    prime = jnp.asarray(np.arange(12)[None] % 64, jnp.int32)
+    n = 24
+    ref = _greedy_reference(target, tp, prime, n, capacity=128)
+    toks, accepted = speculative_generate(
+        target, tp, draft, dp, jax.random.PRNGKey(5), prime, n,
+        capacity=128, gamma=4, temperature=0.0)
+    assert list(np.asarray(toks)[0]) == ref
+    assert 0.0 < accepted <= 4.0
+
+
+def test_greedy_exactness_self_draft(models):
+    """Draft == target: every proposal accepted (gamma per round)."""
+    target, tp, _, _ = models
+    prime = jnp.asarray((np.arange(10)[None] * 3) % 64, jnp.int32)
+    n = 17
+    ref = _greedy_reference(target, tp, prime, n, capacity=128)
+    toks, accepted = speculative_generate(
+        target, tp, target, tp, jax.random.PRNGKey(5), prime, n,
+        capacity=128, gamma=4, temperature=0.0)
+    assert list(np.asarray(toks)[0]) == ref
+    assert accepted > 3.5  # all-accept rounds (last round may truncate)
+
+
+def test_sampled_mode_runs(models):
+    target, tp, draft, dp = models
+    prime = jnp.asarray(np.arange(8)[None] % 64, jnp.int32)
+    toks, accepted = speculative_generate(
+        target, tp, draft, dp, jax.random.PRNGKey(7), prime, 16,
+        capacity=128, gamma=3, temperature=0.8)
+    a = np.asarray(toks)
+    assert a.shape == (1, 16) and ((a >= 0) & (a < 64)).all()
+    assert accepted > 0

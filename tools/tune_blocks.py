@@ -29,32 +29,43 @@ def main():
     q, k, v = (jnp.asarray(rng.standard_normal((b, h, seq, d)), dtype)
                for _ in range(3))
 
+    # transposed-kernel sweep: (lane block, outer streamed block, inner
+    # sub-tile) set through the FCSA env overrides (ops/blocks.py)
+    import os
+
+    import flash_cosine_sim_attention_tpu as fcsa
+
     configs = [
-        (None, None),        # tuned default
-        (512, 512),
-        (1024, 512),
-        (1024, 1024),
-        (512, 1024),
-        (2048, 512),
+        None,                 # tuned defaults
+        (512, 4096, 512),
+        (512, 2048, 512),
+        (1024, 4096, 512),
+        (512, 4096, 256),
+        (256, 4096, 512),
     ]
-    seen = set()
-    for bq, bk in configs:
-        key = (bq, bk)
-        if key in seen:
-            continue
-        seen.add(key)
+    for cfg in configs:
+        for var in list(os.environ):
+            if var.startswith("FCSA_"):
+                del os.environ[var]
+        if cfg is not None:
+            for side in ("FWD", "BWD"):
+                for name, val in zip(("BQ", "BKO", "BKI"), cfg):
+                    os.environ[f"FCSA_{side}_{name}"] = str(val)
+        # env is read at trace time: drop every cached specialization
+        fcsa.ops.flash_attention._make_fused.cache_clear()
+        jax.clear_caches()
         try:
             fn = lambda q, k, v: flash_cosine_sim_attention(
-                q, k, v, causal=args.causal, block_q=bq, block_k=bk)
+                q, k, v, causal=args.causal)
             t_f = benchmark(fn, q, k, v, forwards=True, backwards=False,
                             num_times=args.num_times)
             t_fb = benchmark(fn, q, k, v, forwards=True, backwards=True,
                              num_times=args.num_times)
-            print(f"bq={bq} bk={bk}: fwd {t_f:.3f} ms   fwd+bwd {t_fb:.3f} ms",
-                  flush=True)
+            print(f"{cfg or 'defaults'}: fwd {t_f:.3f} ms   "
+                  f"fwd+bwd {t_fb:.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"bq={bq} bk={bk}: FAILED {type(e).__name__}: {e}",
-                  flush=True)
+            print(f"{cfg or 'defaults'}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:100]}", flush=True)
 
 
 if __name__ == "__main__":
