@@ -57,8 +57,9 @@ def _layernorm(p, x, eps=1e-6):
 
 def init_decode_state(model: CosineSimCausalTransformer, batch: int,
                       capacity: int, kv_dtype=jnp.int8) -> DecodeState:
+    kvh = model.kv_heads or model.heads
     caches = tuple(
-        init_cache(batch, model.heads, capacity, model.dim_head,
+        init_cache(batch, kvh, capacity, model.dim_head,
                    kv_dtype=kv_dtype)
         for _ in range(model.depth))
     return DecodeState(caches, jnp.zeros((batch,), jnp.int32))
@@ -67,12 +68,15 @@ def init_decode_state(model: CosineSimCausalTransformer, batch: int,
 def _attention_qkv(model, layer_p, x, groups):
     """q/k/v projections + head split + l2norm, mirroring Attention."""
     h, dh = model.heads, model.dim_head
+    kvh = model.kv_heads or h
     if model.pre_norm:
         x = _layernorm(layer_p["LayerNorm_0"], x)
-    split = lambda t: t.reshape(*t.shape[:-1], h, dh).swapaxes(-2, -3)
-    q = split(_dense(layer_p["to_q"], x))
-    k = split(_dense(layer_p["to_k"], x))
-    v = split(_dense(layer_p["to_v"], x))
+
+    def split(t, nh):
+        return t.reshape(*t.shape[:-1], nh, dh).swapaxes(-2, -3)
+    q = split(_dense(layer_p["to_q"], x), h)
+    k = split(_dense(layer_p["to_k"], x), kvh)
+    v = split(_dense(layer_p["to_v"], x), kvh)
     q, k = l2norm_tensors(q, k, groups=groups)
     return q, k, v
 
@@ -286,7 +290,8 @@ def init_paged_decode_state(
     from ..quant.paged import init_paged_cache
 
     caches = tuple(
-        init_paged_cache(num_pages, model.heads, page_size, model.dim_head,
+        init_paged_cache(num_pages, model.kv_heads or model.heads,
+                         page_size, model.dim_head,
                          num_slots, max_pages_per_slot, kv_dtype=kv_dtype)
         for _ in range(model.depth))
     return PagedDecodeState(caches, jnp.zeros((num_slots,), jnp.int32))

@@ -48,6 +48,7 @@ class Attention(nn.Module):
     dim: int
     dim_head: int = 64
     heads: int = 8
+    kv_heads: Optional[int] = None  # < heads -> grouped-query; 1 -> MQA
     scale: float = 8.0
     l2norm_groups: int = 1
     pre_norm: bool = False
@@ -60,19 +61,26 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = self.heads
+        kvh = self.kv_heads or h
+        assert h % kvh == 0, (h, kvh)
         if self.pre_norm:
             x = nn.LayerNorm(dtype=self.dtype)(x)
 
-        dense = partial(
-            nn.Dense, self.dim_head * h, use_bias=False, dtype=self.dtype
-        )
-        q = dense(kernel_init=xavier_normal(1.0), name="to_q")(x)
-        k = dense(kernel_init=xavier_normal(1.0), name="to_k")(x)
-        v = dense(kernel_init=xavier_normal(self.init_gain), name="to_v")(x)
+        dense = partial(nn.Dense, use_bias=False, dtype=self.dtype)
+        q = dense(self.dim_head * h, kernel_init=xavier_normal(1.0),
+                  name="to_q")(x)
+        k = dense(self.dim_head * kvh, kernel_init=xavier_normal(1.0),
+                  name="to_k")(x)
+        v = dense(self.dim_head * kvh,
+                  kernel_init=xavier_normal(self.init_gain), name="to_v")(x)
 
-        split = lambda t: t.reshape(*t.shape[:-1], h, self.dim_head)\
-            .swapaxes(-2, -3)  # (b, n, h*d) -> (b, h, n, d)
-        q, k, v = split(q), split(k), split(v)
+        def split(t, nh):
+            return t.reshape(*t.shape[:-1], nh, self.dim_head)\
+                .swapaxes(-2, -3)  # (b, n, nh*d) -> (b, nh, n, d)
+        q, k, v = split(q, h), split(k, kvh), split(v, kvh)
+        if self.non_cosine_sim_attn or self.mesh is not None:
+            assert kvh == h, (
+                "grouped-query KV is supported on the fused/plain paths")
 
         if self.non_cosine_sim_attn:
             o = non_cosine_sim_attention(q, k, v)
@@ -133,6 +141,7 @@ class CosineSimCausalTransformer(nn.Module):
     max_seq_len: int
     depth: int
     heads: int = 8
+    kv_heads: Optional[int] = None  # GQA/MQA; None -> heads (MHA)
     dim_head: int = 64
     attn_scale: float = 8.0
     attn_l2norm_groups: int = 1
@@ -169,6 +178,7 @@ class CosineSimCausalTransformer(nn.Module):
         for layer in range(self.depth):
             attn_out = Attention(
                 dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                kv_heads=self.kv_heads,
                 scale=self.attn_scale, l2norm_groups=self.attn_l2norm_groups,
                 pre_norm=self.pre_norm, use_fused=self.use_fused,
                 non_cosine_sim_attn=self.non_cosine_sim_attn,

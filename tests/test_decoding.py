@@ -166,3 +166,35 @@ def test_engine_continue_request(_cont_setup):
     assert int(eng.state.pos[s]) == pos_before + 12
     nxt = eng.step()  # decoding resumes after the continuation
     assert s in nxt
+
+
+def test_gqa_model_cached_decode_matches_full_forward():
+    """GQA transformer (kv_heads < heads): the cached INT8 decode path
+    greedily matches the full re-forward within quantization tolerance,
+    and the caches allocate only kv_heads rows."""
+    model = CosineSimCausalTransformer(
+        num_tokens=64, dim=64, depth=2, max_seq_len=128, heads=8,
+        kv_heads=2, dim_head=8, pre_norm=True, attn_scale=1.0,
+        dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    prime = jax.random.randint(rng, (1, 12), 0, 64)
+    params = model.init(rng, prime)
+
+    st = init_decode_state(model, 1, 64)
+    assert st.caches[0].k8.shape[1] == 2  # kv_heads rows, not heads
+    logits, st = prefill(model, params, st, prime)
+    cached = [np.asarray(logits[0])]
+    toks = [int(jnp.argmax(logits, -1)[0])]
+    for _ in range(8):
+        logits, st = decode_step(
+            model, params, st, jnp.asarray([toks[-1]], jnp.int32))
+        cached.append(np.asarray(logits[0]))
+        toks.append(int(jnp.argmax(logits, -1)[0]))
+
+    # full re-forward logits on the same token sequence (tolerance: the
+    # cached path attends an INT8-quantized history)
+    seq = jnp.concatenate([prime, jnp.asarray([toks[:-1]], jnp.int32)], 1)
+    for i in range(9):
+        out = model.apply(params, seq[:, : prime.shape[1] + i])
+        ref = np.asarray(out[0, -1])
+        np.testing.assert_allclose(cached[i], ref, atol=0.05)
