@@ -183,3 +183,25 @@ def test_chunked_prefill_matches_one_shot(setup):
         got_b.append(out[sb])
     assert got_b == ref_b, (got_b, ref_b)
     assert got_a == ref_a[:len(got_a)], (got_a, ref_a)
+
+
+def test_engine_with_gqa_model():
+    """Engines serve a grouped-query model: kv_heads-row caches, decode
+    and chunked admission functional."""
+    model = CosineSimCausalTransformer(
+        num_tokens=64, dim=64, depth=2, max_seq_len=256, heads=8,
+        kv_heads=2, dim_head=8, pre_norm=True, attn_scale=1.0,
+        dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jax.random.randint(rng, (1, 16), 0, 64))
+    eng = InferenceEngine(model, params, num_slots=2, capacity=128,
+                          prompt_buckets=(16, 32), seed=0)
+    assert eng.state.caches[0].k8.shape[1] == 2
+    s = eng.add_request(np.arange(10) % 64)
+    for _ in range(3):
+        out = eng.step()
+        assert 0 <= out[s] < 64
+    s2 = eng.add_request(np.arange(20) % 64, chunk_tokens=16)
+    while not eng.active[s2]:
+        eng.step()
+    assert 0 <= int(eng.last_token[s2]) < 64
