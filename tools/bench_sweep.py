@@ -127,13 +127,16 @@ def main():
                         dtype, seq, vcfg["causal"], vcfg["mask_prob"],
                         mcfg["forwards"], mcfg["backwards"],
                         args.num_times, rng)
+                    # tiny shapes can slope-measure to ~0 ms (RPC noise
+                    # floor); clamp for the rate math
                     mfu = root_bench.attention_flops(
-                        seq, mname, vcfg["causal"]) / (t_fused * 1e-3) / peak
+                        seq, mname, vcfg["causal"]) / (
+                        max(t_fused, 1e-3) * 1e-3) / peak
                     if t_naive is None:
                         nv, ratio = "oom", "—"
                     else:
                         nv = f"{t_naive:.2f}"
-                        ratio = f"{t_fused / t_naive:.2f}x"
+                        ratio = f"{t_fused / max(t_naive, 1e-3):.2f}x"
                     dn = jnp.dtype(dtype).name
                     lines.append(
                         f"| {dn} | {seq} | {t_fused:.2f} | {mfu:.1%} | "
