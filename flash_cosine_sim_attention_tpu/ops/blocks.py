@@ -87,8 +87,12 @@ def pick_bwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
         # 1024, 1.83 @bo 256
         bo, bko, bki = 512, 4096, 512
     bo = min(bo, _round_up(max(seq_q, 1), 128))
-    bko = min(bko, _round_up(max(seq_k, 1), 128))
-    bki = min(bki, bko)
+    bki = min(bki, _round_up(max(seq_k, 1), 128))
+    # bko MUST be a multiple of bki (the unrolled inner loop covers
+    # exactly bko // bki sub-tiles; a remainder would silently DROP the
+    # trailing K columns) — clamp to the bki-aligned sequence cover
+    bko = min(bko, _round_up(max(seq_k, 1), bki))
+    assert bko % bki == 0, (bko, bki)
     return bo, bko, bki
 
 
@@ -115,6 +119,8 @@ def pick_fwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
     else:
         bq, bko, bki = 512, 4096, 512
     bq = min(bq, _round_up(max(seq_q, 1), 128))
-    bko = min(bko, _round_up(max(seq_k, 1), 128))
-    bki = min(bki, bko)
+    bki = min(bki, _round_up(max(seq_k, 1), 128))
+    # bko MUST be a multiple of bki (see pick_bwd_blocks_t)
+    bko = min(bko, _round_up(max(seq_k, 1), bki))
+    assert bko % bki == 0, (bko, bki)
     return bq, bko, bki

@@ -343,6 +343,8 @@ def _backward_transposed(
     bq = block_q or bo_d           # owned-block lane width (both kernels)
     bko = block_k or bko_d         # streamed outer block
     bki = min(block_k or bki_d, bko)
+    if bko % bki:
+        bki = bko  # remainder sub-tiles would drop columns
     bk_own = bq                    # dKdV's owned k block (lanes)
     nq = pl.cdiv(seq_q, bq)
     nk = pl.cdiv(seq_k, bko)

@@ -196,6 +196,10 @@ def _forward_transposed(
     bq = block_q or bq_d
     bko = block_k or bko_d
     bki = min(block_k or bki_d, bko)
+    if bko % bki:
+        # the inner loop covers exactly bko // bki sub-tiles; a remainder
+        # would DROP K columns
+        bki = bko
     nq = pl.cdiv(seq_q, bq)
     nk = pl.cdiv(seq_k, bko)
 

@@ -311,3 +311,29 @@ def test_fully_masked_rows_are_zero():
 def test_debug_stub():
     from flash_cosine_sim_attention_tpu import debug
     assert debug() is None
+
+
+@pytest.mark.parametrize("i,j,kvh,causal", [
+    (300, 700, 2, True),    # the case that caught the bug (GQA + cross)
+    (640, 640, 4, False),   # self-attn at a 128-mult, non-512-mult seq
+    (700, 300, 4, True),    # kv shorter, rounded size not bki-aligned
+])
+def test_nonaligned_outer_blocks(i, j, kvh, causal):
+    """Regression: when round_up(seq_k) is > bki but not a multiple of
+    it, the outer K block must stay bki-aligned — a remainder sub-tile
+    count would silently DROP trailing K columns (caught on hardware at
+    seq 700: 0.2 error vs oracle)."""
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.standard_normal((2, 4, i, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, kvh, j, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, kvh, j, 64)), jnp.float32)
+    if i > j and causal:
+        # zero-rowsum rows: compare vs the streaming oracle instead
+        from flash_cosine_sim_attention_tpu import (
+            streaming_cosine_sim_attention,
+        )
+        of = flash_cosine_sim_attention(q, k, v, causal=True)
+        op = streaming_cosine_sim_attention(q, k, v, causal=True)
+        assert float(jnp.abs(of - op).max()) < 1e-4
+        return
+    check(q, k, v, None, None, causal=causal, bbd=False)
