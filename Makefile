@@ -31,6 +31,12 @@ benchmark_decode:
 benchmark_scaling:
 	python tools/bench_scaling.py
 
+benchmark_serving:
+	python tools/bench_serving.py
+
+benchmark_sweep:
+	python tools/bench_sweep.py
+
 bench:
 	python bench.py
 
@@ -43,4 +49,5 @@ clean:
 
 .PHONY: install test native benchmark benchmark_causal benchmark_forwards \
         benchmark_backwards benchmark_masked benchmark_decode \
-        benchmark_scaling bench train clean
+        benchmark_scaling benchmark_serving benchmark_sweep bench train \
+        clean
