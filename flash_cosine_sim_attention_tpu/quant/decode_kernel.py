@@ -49,21 +49,27 @@ def _decode_kernel(
     # len_ref   SMEM (b, 1) int32: ALL slots' cache lengths (whole-array
     #           block: Mosaic requires SMEM blocks be full dims; indexed
     #           by the batch grid axis inside the kernel)
-    # q_ref     (1, 1, g, d) bf16/f32 — l2-normalized query group
-    # k8_ref    (1, 1, block_k, d) int8 or e4m3
-    # v8_ref    (1, 1, block_k, d) int8 or e4m3
-    # vs_ref    (1, 1, 1, block_k) f32 per-token V scale (int8 format only)
-    # o_ref     (1, 1, g, d) f32
-    # acc_ref   scratch (g, d) f32
-    # lsum_ref  scratch (g, 1) f32
+    # q_ref     (1, kvh, g, d) bf16/f32 — l2-normalized query groups
+    # k8_ref    (1, kvh, block_k, d) int8 or e4m3
+    # v8_ref    (1, kvh, block_k, d) int8 or e4m3
+    # vs_ref    (1, kvh, 1, block_k) f32 per-token V scale (int8 only)
+    # o_ref     (1, kvh, g, d) f32
+    # acc_ref   scratch (kvh*g, d) f32
+    # lsum_ref  scratch (kvh*g, 1) f32
+    #
+    # ALL kv heads ride one grid step (grid = (b, nk)): a per-(b, head)
+    # grid pays per-step overhead on every 1-row matvec, which dominated
+    # the bandwidth-bound stream (same lesson as the paged kernel's
+    # whole-page DMAs — measured 1.7x at 0.8B scale).
     scale: float,
     k_dequant_scale: float,
     has_vscale: bool,
     block_k: int,
+    kv_heads: int,
     group: int,
 ):
     idx = 0
-    len_ref = refs[idx]; idx += 1
+    len_ref = refs[idx]; idx += 1  # scalar-prefetched (b,) lengths (SMEM)
     q_ref = refs[idx]; idx += 1
     k8_ref = refs[idx]; idx += 1
     v8_ref = refs[idx]; idx += 1
@@ -72,9 +78,9 @@ def _decode_kernel(
         vs_ref = refs[idx]; idx += 1
     o_ref, acc_ref, lsum_ref = refs[idx : idx + 3]
 
-    ki = pl.program_id(2)
-    nk = pl.num_programs(2)
-    length = len_ref[pl.program_id(0), 0]
+    ki = pl.program_id(1)
+    nk = pl.num_programs(1)
+    length = len_ref[pl.program_id(0)]
 
     @pl.when(ki == 0)
     def _init():
@@ -83,41 +89,43 @@ def _decode_kernel(
 
     @pl.when(ki * block_k < length)
     def _compute():
-        q = q_ref[0, 0]                       # (g, d)
-        k_q = k8_ref[0, 0]                    # (block_k, d) int8/e4m3
-        v_q = v8_ref[0, 0]                    # (block_k, d) int8/e4m3
-
-        # quantized K -> bf16 for the MXU; the dequant (1/127 for int8,
-        # 1 for fp8) folds into the logit scale below — one fused
-        # constant, no extra pass over K
-        s = jax.lax.dot_general(
-            q.astype(jnp.bfloat16), k_q.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (g, block_k), units of cos/k_dequant_scale
-
-        eff_scale = scale * k_dequant_scale
-        e = jnp.exp(s * eff_scale - scale)
-
         col = ki * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (group, block_k), 1)
-        e = jnp.where(col < length, e, 0.0)
+        keep = col < length
+        for h in range(kv_heads):
+            q = q_ref[0, h]                   # (g, d)
+            k_q = k8_ref[0, h]                # (block_k, d) int8/e4m3
+            v_q = v8_ref[0, h]                # (block_k, d) int8/e4m3
 
-        lsum_ref[...] += jnp.sum(e, axis=-1, keepdims=True)
-        # int8: fold V's per-token scale into the exp weights so raw int8
-        # V (as bf16) hits the MXU directly; fp8 V needs no scale at all
-        e_scaled = ((e * vs_ref[0, 0]) if has_vscale else e
-                    ).astype(jnp.bfloat16)
-        acc_ref[...] += jax.lax.dot_general(
-            e_scaled, v_q.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            # quantized K -> bf16 for the MXU; the dequant (1/127 for
+            # int8, 1 for fp8) folds into the logit scale below — one
+            # fused constant, no extra pass over K
+            s = jax.lax.dot_general(
+                q.astype(jnp.bfloat16), k_q.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (g, block_k), units of cos/k_dequant_scale
+
+            e = jnp.exp(s * (scale * k_dequant_scale) - scale)
+            e = jnp.where(keep, e, 0.0)
+
+            r = slice(h * group, (h + 1) * group)
+            lsum_ref[r, :] += jnp.sum(e, axis=-1, keepdims=True)
+            # int8: fold V's per-token scale into the exp weights so raw
+            # int8 V (as bf16) hits the MXU directly; fp8 V needs none
+            e_scaled = ((e * vs_ref[0, h]) if has_vscale else e
+                        ).astype(jnp.bfloat16)
+            acc_ref[r, :] += jax.lax.dot_general(
+                e_scaled, v_q.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(ki == nk - 1)
     def _finalize():
         inv_l = 1.0 / jnp.maximum(lsum_ref[...], EPS)
-        o_ref[0, 0] = acc_ref[...] * inv_l
+        out = acc_ref[...] * inv_l
+        o_ref[0] = out.reshape(kv_heads, group, out.shape[-1])
 
 
 def _xla_decode(q, cache: QuantKVCache, scale: float):
@@ -155,10 +163,19 @@ def quantized_decode_attention(
     groups: int = 1,
     l2norm_qk: bool = True,
     block_k: int = 2048,
-    use_kernel: bool = False,
+    use_kernel: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Attention of one new query token against the quantized cache."""
+    """Attention of one new query token against the quantized cache.
+
+    Default path (``use_kernel=None``) is the Pallas kernel for int8
+    caches (whole-kvh blocks + length-clamped block elision): measured
+    faster than the XLA einsum at every probed shape on v5e — 0.098 vs
+    0.107 ms (b8 h8 d64 ctx8000), 0.048 vs 0.090 (b8 h8 d128 ctx2000),
+    0.093 vs 0.180 (b8 h16 d128 ctx2000, 86% of the cache-streaming
+    bound) — and the XLA einsum for fp8 (Mosaic's in-kernel e4m3 upcast
+    is pathological; XLA vectorizes it fine, DESIGN.md).
+    """
     squeeze = q.ndim == 4
     if squeeze:
         assert q.shape[2] == 1
@@ -173,54 +190,70 @@ def quantized_decode_attention(
     g = h // kvh
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if use_kernel is None:
+        use_kernel = not cache.is_fp8
 
     if not use_kernel:
         out = _xla_decode(q.reshape(b, kvh, g, d), cache, float(scale))
         out = out.reshape(b, h, d).astype(q.dtype)
         return out[:, :, None, :] if squeeze else out
 
-    block_k = min(block_k, cap)
-    assert cap % block_k == 0, (cap, block_k)
+    # whole-kvh blocks: bound the K (and V) window to ~2MB each so the
+    # double-buffered pair fits VMEM at any (kvh, d)
+    bytes_per_tok = kvh * d * cache.k8.dtype.itemsize
+    block_k = min(block_k, cap, max(128, (2 << 20) // bytes_per_tok))
+    while cap % block_k:
+        block_k //= 2
     nk = cap // block_k
 
     qg = q.reshape(b, kvh, g, d)
-    length = jnp.asarray(cache.length, jnp.int32).reshape(b, 1)
     has_vscale = not cache.is_fp8  # fp8 V is stored unscaled
 
+    # Length-clamped block elision (the fwd kernel's causal-DMA-elision
+    # trick, driven by RUNTIME lengths): the per-slot length rides as a
+    # scalar-prefetch arg so the index maps can clamp the K/V block index
+    # at each slot's last live block — blocks past the length re-fetch
+    # the same block (free) instead of streaming dead cache.
+    def kv_idx(bi, ki, lens):
+        last = jnp.maximum(pl.cdiv(lens[bi], block_k) - 1, 0)
+        return (bi, 0, jnp.minimum(ki, last), 0)
+
     in_specs = [
-        pl.BlockSpec((b, 1), lambda bi, hi, ki: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, g, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
-        pl.BlockSpec((1, 1, block_k, d),
-                     lambda bi, hi, ki: (bi, hi, ki, 0)),
-        pl.BlockSpec((1, 1, block_k, d),
-                     lambda bi, hi, ki: (bi, hi, ki, 0)),
+        pl.BlockSpec((1, kvh, g, d), lambda bi, ki, lens: (bi, 0, 0, 0)),
+        pl.BlockSpec((1, kvh, block_k, d), kv_idx),
+        pl.BlockSpec((1, kvh, block_k, d), kv_idx),
     ]
-    args = [length, qg, cache.k8, cache.v8]
+    args = [qg, cache.k8, cache.v8]
     if has_vscale:
-        in_specs.append(
-            pl.BlockSpec((1, 1, 1, block_k),
-                         lambda bi, hi, ki: (bi, hi, 0, ki)))
+        def vs_idx(bi, ki, lens):
+            return (bi, 0, 0, kv_idx(bi, ki, lens)[2])
+        in_specs.append(pl.BlockSpec((1, kvh, 1, block_k), vs_idx))
         args.append(cache.v_scale.swapaxes(-1, -2))  # (b, kvh, 1, cap)
 
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, kvh, g, d),
+                               lambda bi, ki, lens: (bi, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((kvh * g, d), jnp.float32),
+            pltpu.VMEM((kvh * g, 1), jnp.float32),
+        ],
+    )
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel, scale=float(scale),
             k_dequant_scale=cache.k_dequant_scale,
-            has_vscale=has_vscale, block_k=block_k, group=g),
-        grid=(b, kvh, nk),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            has_vscale=has_vscale, block_k=block_k, kv_heads=kvh,
+            group=g),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((g, d), jnp.float32),
-            pltpu.VMEM((g, 1), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*args)
+    )(jnp.asarray(cache.length, jnp.int32), *args)
 
     out = out.reshape(b, h, d).astype(q.dtype)
     return out[:, :, None, :] if squeeze else out
