@@ -6,27 +6,29 @@ per token — so the int8/fp8 cache halves traffic vs bf16 (4x vs f32).
 
 Two implementations with identical semantics:
 
-  * ``_xla_decode`` (default): plain einsums over the quantized buffers;
-    XLA fuses the int8 upcast into the streaming matmul.  Measured at
-    ~70% of HBM bandwidth speed-of-light on v5e — faster than the Pallas
-    kernel for this shape class (batched 1-row matvecs are XLA's bread
-    and butter; a Pallas grid pays per-step overhead on each).
-  * ``_decode_kernel`` (``use_kernel=True``): the Pallas version, where
-    the dequant is fused into the attention tile:
+  * ``_decode_kernel`` (default for int8): Pallas, dequant fused into
+    the attention tile.  Grid (batch, kv_blocks) with ALL kv heads in
+    each block (a per-(b, head) grid pays per-step overhead on 1-row
+    matvecs) and length-clamped block elision: slot lengths ride as
+    scalar-prefetch so the index maps re-fetch the last live block
+    instead of streaming dead capacity.  Measured at 86% of the
+    cache-streaming bound (b8 kvh16 d128) and faster than the einsum at
+    every probed shape.
+  * ``_xla_decode`` (``use_kernel=False``; default for fp8): plain
+    einsums over the quantized buffers — XLA vectorizes the e4m3 upcast
+    that Mosaic lowers pathologically.
+
+Dequant placement:
 
   * K dequant is a constant multiply (fixed scale 127 for int8 — K is
     normalized; 1 for e4m3), which folds into the already-fused
     ``exp(scale*s - scale)`` epilogue: we feed the MXU the raw
     quantized-as-bf16 K and fold the dequant into the logit scale.
-  * int8 V's per-token scale is folded into the exp weights BEFORE the PV
-    matmul (e_j * vscale_j), so V's int8 values go straight to the MXU;
-    fp8 V is stored unscaled and needs no fold at all.
+  * int8 V's per-token scale is folded into the exp weights BEFORE the
+    PV matmul, so V's int8 values go straight to the MXU; fp8 V is
+    stored unscaled and needs no fold at all.
 
 No running row-max, as everywhere in this framework: logits are bounded.
-
-Grid: (batch, kv_heads, kv_blocks); each (b, kv-head) accumulates its
-query-head group's output in VMEM scratch across the cache blocks.  The
-current cache length arrives in SMEM; blocks past it are skipped.
 """
 
 from __future__ import annotations
@@ -112,7 +114,11 @@ def _decode_kernel(
             r = slice(h * group, (h + 1) * group)
             lsum_ref[r, :] += jnp.sum(e, axis=-1, keepdims=True)
             # int8: fold V's per-token scale into the exp weights so raw
-            # int8 V (as bf16) hits the MXU directly; fp8 V needs none
+            # int8 V (as bf16) hits the MXU directly; the scale arrives
+            # pre-viewed as (1, block_k) — a free relayout of the
+            # trailing (cap, 1) dims.  (Scaling V's rows instead would
+            # need a (block_k, 1) f32 block, whose lane dim pads 1->128
+            # in VMEM: 8MB per buffer at block 2048.)
             e_scaled = ((e * vs_ref[0, h]) if has_vscale else e
                         ).astype(jnp.bfloat16)
             acc_ref[r, :] += jax.lax.dot_general(
@@ -132,12 +138,8 @@ def _xla_decode(q, cache: QuantKVCache, scale: float):
     """XLA-fused decode: int8/fp8 K/V stream from HBM and upcast inside
     the fused matmul loop.
 
-    On v5e this is at ~70% of HBM bandwidth speed-of-light and BEATS the
-    Pallas kernel below (measured: 0.118 vs 0.160 ms/token at b8 h8
-    ctx8192 int8): XLA's batched matvec amortizes per-tile overhead across
-    the whole (b, heads) batch, where the Pallas grid pays per-step cost
-    on 1-row matmuls.  Kept as the default path; the kernel remains for
-    explicit control (``use_kernel=True``).
+    ~70% of HBM bandwidth speed-of-light on v5e; the default for fp8
+    caches, and the fallback path for explicit ``use_kernel=False``.
     """
     b, kvh, g, d = q.shape
     keep = (jnp.arange(cache.capacity)[None, None, None, :]
@@ -191,7 +193,15 @@ def quantized_decode_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if use_kernel is None:
-        use_kernel = not cache.is_fp8
+        # v5e measurements: the kernel wins while the cache is <= 4
+        # blocks deep (0.048 vs 0.090 @d128/ctx2k, 0.099 vs 0.116
+        # @d64/ctx8k) and loses beyond (0.357 vs 0.227 @16k, 0.709 vs
+        # 0.423 @32k — per-step cost jumps once the per-head HBM stride
+        # grows past the 2MB block budget), so auto-pick by depth; fp8
+        # always takes the einsum (Mosaic's e4m3 upcast is pathological)
+        bytes_per_tok = kvh * d * cache.k8.dtype.itemsize
+        eff_bk = min(block_k, cap, max(128, (2 << 20) // bytes_per_tok))
+        use_kernel = (not cache.is_fp8) and cap <= 4 * eff_bk
 
     if not use_kernel:
         out = _xla_decode(q.reshape(b, kvh, g, d), cache, float(scale))
@@ -228,7 +238,9 @@ def quantized_decode_attention(
         def vs_idx(bi, ki, lens):
             return (bi, 0, 0, kv_idx(bi, ki, lens)[2])
         in_specs.append(pl.BlockSpec((1, kvh, 1, block_k), vs_idx))
-        args.append(cache.v_scale.swapaxes(-1, -2))  # (b, kvh, 1, cap)
+        # (b, kvh, cap, 1) -> (b, kvh, 1, cap): trailing singleton swap,
+        # no data movement
+        args.append(cache.v_scale.swapaxes(-1, -2))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

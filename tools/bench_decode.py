@@ -8,6 +8,10 @@ bound, so int8 formats should approach 2x bf16 at long context.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
