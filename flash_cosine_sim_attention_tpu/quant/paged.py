@@ -319,7 +319,11 @@ def _kernel_paged_decode(q, cache: PagedKVCache, scale: float,
     ps, mp = cache.page_size, cache.max_pages
     has_vscale = not cache.is_fp8
 
-    chunk_pages = max(1, min(mp, chunk_tokens // ps))
+    # bound each double-buffered chunk window to ~2MB per tensor so the
+    # K+V (+vs) assembly buffers fit VMEM at any (kvh, d, page_size)
+    page_bytes = kvh * d * ps * cache.k8.dtype.itemsize
+    chunk_pages = max(1, min(mp, chunk_tokens // ps,
+                             (2 << 20) // page_bytes))
     # pad the table to a multiple of the chunk (extra entries point at the
     # null page 0 and are masked by length)
     mp_pad = ((mp + chunk_pages - 1) // chunk_pages) * chunk_pages
