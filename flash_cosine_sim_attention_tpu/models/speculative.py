@@ -78,10 +78,12 @@ def make_speculative_decoder(
         def step(carry, _):
             dstate, tok, rng = carry
             logits, dstate = decode_step(draft, d_params, dstate, tok)
-            probs = _softmax_probs(logits[0], max(temperature, 1e-6))
             if temperature == 0.0:
+                # greedy acceptance never reads draft probabilities
+                probs = jnp.zeros_like(logits[0], jnp.float32)
                 nxt = jnp.argmax(logits[0], -1).astype(jnp.int32)[None]
             else:
+                probs = _softmax_probs(logits[0], temperature)
                 rng, sub = jax.random.split(rng)
                 nxt = jax.random.categorical(
                     sub, logits[0].astype(jnp.float32) / temperature
