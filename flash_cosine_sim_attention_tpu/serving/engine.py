@@ -28,6 +28,7 @@ recompiles.
 
 from __future__ import annotations
 
+import functools
 from collections import deque
 from typing import Deque, Dict, List, Optional, Tuple
 
@@ -114,6 +115,25 @@ class InferenceEngine:
             # inactive / mid-prefill slots keep their last token
             return jnp.where(active, toks, last), state, rng
 
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def _decode_many(params, state, last, active, n, rng):
+            """n decode steps in ONE dispatch (lax.scan): the multi-token
+            API for host-latency-bound serving — same per-step math and
+            rng-split pattern as _decode_and_sample, so token streams
+            match the one-at-a-time path exactly."""
+            def body(carry, _):
+                state, last, rng = carry
+                rng, sub = jax.random.split(rng)
+                logits, state = decode_step(
+                    self.model, params, state, last,
+                    mesh=self.mesh, active=active)
+                last = jnp.where(active, _sample(sub, logits), last)
+                return (state, last, rng), last
+
+            (state, last, rng), toks = jax.lax.scan(
+                body, (state, last, rng), None, length=n)
+            return toks, last, state, rng
+
         @jax.jit
         def _prefill_one(params, tokens, true_len, rng):
             """Bucketed batch-1 prefill; exact because causal attention
@@ -159,6 +179,7 @@ class InferenceEngine:
             return DecodeState(caches, state.pos.at[slot].set(0))
 
         self._decode_and_sample = _decode_and_sample
+        self._decode_many = _decode_many
         self._prefill_one = _prefill_one
         self._insert = _insert
         self._continue = _continue
@@ -283,6 +304,36 @@ class InferenceEngine:
         self.last_token = np.array(toks)
         return {i: int(self.last_token[i])
                 for i in range(self.num_slots) if decode_active[i]}
+
+    def step_many(self, n: int) -> Dict[int, List[int]]:
+        """Advance every active slot ``n`` tokens in ONE device dispatch
+        -> {slot: [tokens...]}.
+
+        The throughput API: one host round-trip per n tokens instead of
+        per token (on a remote-attached chip that is nearly an n-fold
+        difference).  Token streams are identical to n calls of
+        ``step()`` (same per-step rng-split pattern).  Pending prefill
+        chunks are NOT interleaved — callers mixing chunked admission
+        with bulk decode should call ``step()`` while ``prefilling``
+        slots exist.
+        """
+        decode_active = self.active & ~self.prefilling
+        if not decode_active.any():
+            return {}
+        over = [s for s in range(self.num_slots)
+                if decode_active[s] and self.host_pos[s] + n > self.capacity]
+        if over:
+            raise RuntimeError(
+                f"slots {over} would exceed cache capacity "
+                f"{self.capacity} within {n} steps; finish() them first")
+        toks, self._last_dev, self.state, self._rng = self._decode_many(
+            self.params, self.state, self._last_dev,
+            jnp.asarray(decode_active), int(n), self._rng)
+        self.host_pos[decode_active] += n
+        toks = np.array(toks)                 # (n, slots): the ONE fetch
+        self.last_token = toks[-1].copy()
+        return {s: [int(t) for t in toks[:, s]]
+                for s in range(self.num_slots) if decode_active[s]}
 
     def finish(self, slot: int) -> None:
         self.active[slot] = False

@@ -205,3 +205,34 @@ def test_engine_with_gqa_model():
     while not eng.active[s2]:
         eng.step()
     assert 0 <= int(eng.last_token[s2]) < 64
+
+
+def test_step_many_matches_step(setup):
+    """step_many(n) must produce exactly the token streams of n step()
+    calls (same rng-split pattern), in one device dispatch."""
+    model, params = setup
+    prompt = np.arange(10) % 64
+
+    e1 = InferenceEngine(model, params, num_slots=2, capacity=128,
+                         prompt_buckets=(32,), temperature=1e-4, seed=11)
+    s1 = e1.add_request(prompt)
+    ref = [e1.step()[s1] for _ in range(4)]
+
+    e2 = InferenceEngine(model, params, num_slots=2, capacity=128,
+                         prompt_buckets=(32,), temperature=1e-4, seed=11)
+    s2 = e2.add_request(prompt)
+    got = e2.step_many(4)[s2]
+    assert got == ref, (got, ref)
+    assert int(e2.host_pos[s2]) == int(e1.host_pos[s1])
+    # streams continue identically afterwards
+    assert e2.step()[s2] == e1.step()[s1]
+
+
+def test_step_many_capacity_guard(setup):
+    model, params = setup
+    eng = InferenceEngine(model, params, num_slots=1, capacity=36,
+                          prompt_buckets=(32,), seed=2)
+    eng.add_request(np.arange(30))
+    with pytest.raises(RuntimeError, match="capacity"):
+        eng.step_many(10)
+    assert len(eng.step_many(6)[0]) == 6  # exactly to capacity is fine
