@@ -200,6 +200,17 @@ def speculative_generate(
     mean accepted-per-round).  b=1 (speculative batching couples slot
     lengths; engines keep per-slot decode for batch serving)."""
     assert prime.shape[0] == 1, "speculative decoding is single-stream"
+    # capacity guard: every round appends up to gamma tokens to both caches
+    # BEFORE rolling back, so the high-water mark is prompt + generated +
+    # gamma.  Without this, the dynamic_update_slice append would clamp its
+    # write offset and silently overwrite the newest cache history (the
+    # engines enforce the same invariant via their page/slot accounting).
+    need = prime.shape[1] + seq_len + gamma
+    if capacity < need:
+        raise ValueError(
+            f"capacity {capacity} too small: speculative decoding needs "
+            f"prime ({prime.shape[1]}) + seq_len ({seq_len}) + gamma "
+            f"({gamma}) = {need} cache rows")
     tstate = init_decode_state(target, 1, capacity)
     dstate = init_decode_state(draft, 1, capacity)
 

@@ -78,9 +78,10 @@ class Attention(nn.Module):
             return t.reshape(*t.shape[:-1], nh, self.dim_head)\
                 .swapaxes(-2, -3)  # (b, n, nh*d) -> (b, nh, n, d)
         q, k, v = split(q, h), split(k, kvh), split(v, kvh)
-        if self.non_cosine_sim_attn or self.mesh is not None:
+        if self.non_cosine_sim_attn:
             assert kvh == h, (
-                "grouped-query KV is supported on the fused/plain paths")
+                "grouped-query KV is supported on the fused/plain/mesh "
+                "paths; the vanilla-softmax baseline is MHA-only")
 
         if self.non_cosine_sim_attn:
             o = non_cosine_sim_attention(q, k, v)

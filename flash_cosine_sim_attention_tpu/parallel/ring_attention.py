@@ -226,10 +226,18 @@ def ring_flash_cosine_sim_attention(
         interpret = jax.default_backend() != "tpu"
 
     spec = P(data_axis, model_axis, axis_name, None)
-    kvh = k.shape[1]
+    kvh, h = k.shape[1], q.shape[1]
     kv_model = model_axis
     if model_axis is not None and kvh % mesh.shape[model_axis] != 0:
-        kv_model = None  # few KV heads (MQA): replicate over the TP axis
+        if kvh > 1:
+            # replicating 1 < kvh < h KV heads while q is head-sharded
+            # would remap query groups to the wrong KV head inside the
+            # shard (the kernel recomputes q_per_kv from LOCAL counts):
+            # repeat to full heads and shard like q instead
+            k = jnp.repeat(k, h // kvh, axis=1)
+            v = jnp.repeat(v, h // kvh, axis=1)
+        else:
+            kv_model = None  # MQA: replicate (all q heads -> KV head 0)
     kv_spec = P(data_axis, kv_model, axis_name, None)
     mask_spec = P(data_axis, axis_name)
     ring = _make_ring(axis_name, float(scale), bool(causal),

@@ -20,9 +20,26 @@ from ..quant.decode_kernel import quantized_decode_attention
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
-def cache_shardings(mesh: Mesh) -> QuantKVCache:
-    """NamedSharding pytree for a QuantKVCache: batch->data, kv-heads->model."""
-    kv = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None, None))
+def cache_shardings(mesh: Mesh, kv_heads: int | None = None) -> QuantKVCache:
+    """NamedSharding pytree for a QuantKVCache: batch->data, kv-heads->model.
+
+    Grouped-query caches shard their KV heads over ``model`` when the TP
+    size divides them (contiguous head blocks keep the local grouped-query
+    mapping correct); an MQA cache (1 head) replicates over ``model``
+    (every local q head maps to KV head 0).  1 < kv_heads not divisible by
+    TP is rejected: replicating would silently remap query groups to the
+    wrong KV head inside each shard."""
+    tp = mesh.shape[MODEL_AXIS]
+    kvh = kv_heads if kv_heads is not None else tp  # default: divisible
+    if kvh % tp == 0:
+        kv = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None, None))
+    elif kvh == 1:
+        kv = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+    else:
+        raise ValueError(
+            f"kv_heads={kvh} must be 1 or a multiple of the TP size "
+            f"({tp}) to shard the decode cache: replicating a grouped "
+            f"cache would remap query groups to the wrong KV head")
     return QuantKVCache(
         k8=kv, v8=kv, v_scale=kv,
         length=NamedSharding(mesh, P(DATA_AXIS)),
@@ -30,7 +47,8 @@ def cache_shardings(mesh: Mesh) -> QuantKVCache:
 
 
 def shard_cache(cache: QuantKVCache, mesh: Mesh) -> QuantKVCache:
-    return jax.device_put(cache, cache_shardings(mesh))
+    return jax.device_put(
+        cache, cache_shardings(mesh, kv_heads=cache.k8.shape[1]))
 
 
 def head_sharded_decode_attention(
@@ -46,7 +64,7 @@ def head_sharded_decode_attention(
     over ``model``.  Each chip runs the (XLA-fused or Pallas) decode on
     its local shard; no cross-chip communication inside the op."""
     q_spec = P(DATA_AXIS, MODEL_AXIS, None)
-    kv_spec = P(DATA_AXIS, MODEL_AXIS, None, None)
+    kv_spec = cache_shardings(mesh, kv_heads=cache.k8.shape[1]).k8.spec
 
     def inner(q, k8, v8, vs, length):
         local = QuantKVCache(k8, v8, vs, length)

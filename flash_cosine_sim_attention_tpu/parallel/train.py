@@ -26,11 +26,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
-def _spec_for_path(path) -> P:
+def _spec_for_path(path, x=None, tp: int = 1) -> P:
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     joined = "/".join(str(n) for n in names)
     if "kernel" in joined:
         if any(s in joined for s in ("to_q", "to_k", "to_v")):
+            # grouped-query to_k/to_v kernels are (dim, kvh*dh): column-
+            # shard only when the narrower output divides the TP size,
+            # else replicate (the attention shard_map reshards activations
+            # as needed either way)
+            if x is not None and x.shape[-1] % tp != 0:
+                return P()
             return P(None, MODEL_AXIS)
         if "to_out" in joined:
             return P(MODEL_AXIS, None)
@@ -43,8 +49,10 @@ def _spec_for_path(path) -> P:
 
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree matching ``params`` via the rules above."""
+    tp = mesh.shape[MODEL_AXIS]
     return jax.tree_util.tree_map_with_path(
-        lambda path, x: NamedSharding(mesh, _spec_for_path(path)), params
+        lambda path, x: NamedSharding(mesh, _spec_for_path(path, x, tp)),
+        params
     )
 
 

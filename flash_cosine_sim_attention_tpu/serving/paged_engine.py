@@ -196,7 +196,11 @@ class PagedInferenceEngine:
             return slot
 
         width = _bucket(n, self.buckets)
-        self._ensure_pages(slot, n + self.reserve_tokens)
+        # reserve is best-effort: cap at slot capacity so a prompt that fits
+        # (n passed the ValueError above) is never rejected just because
+        # n + reserve_tokens would overflow the page run
+        self._ensure_pages(slot, min(n + self.reserve_tokens,
+                                     self.max_pages * self.page_size))
 
         padded = np.zeros((1, width), np.int32)
         padded[0, :n] = prompt

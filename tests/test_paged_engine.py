@@ -200,6 +200,6 @@ def test_paged_chunked_prefill_matches_one_shot(setup):
         got_b.append(eng.step()[sb])
     assert got_b == ref_b, (got_b, ref_b)
     assert eng.pages_in_use() == sum(
-        (int(eng.host_pos[s]) + 127) // 128 for s in (sa, sb)) or True
+        (int(eng.host_pos[s]) + 127) // 128 for s in (sa, sb))
     eng.finish(sb)
     assert eng.pages_in_use() == 1  # only sa's single page remains
