@@ -1,4 +1,8 @@
-from .speculative import make_speculative_decoder, speculative_generate
+from .speculative import (
+    make_batched_speculative_decoder,
+    make_speculative_decoder,
+    speculative_generate,
+)
 from .transformer import (
     Attention,
     CosineSimCausalTransformer,
@@ -12,6 +16,7 @@ __all__ = [
     "CosineSimCausalTransformer",
     "FeedForward",
     "generate",
+    "make_batched_speculative_decoder",
     "make_speculative_decoder",
     "speculative_generate",
     "top_k_filter",

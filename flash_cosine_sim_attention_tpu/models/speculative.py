@@ -184,6 +184,161 @@ def make_speculative_decoder(
     return round_fn_rows
 
 
+def _verify_rows_batched(target, t_params, tstate, chunk, active):
+    """Batched verify: one continuation pass over (slots, gamma) chunks
+    returning EVERY position's logits (slots, gamma, vocab).
+
+    Same two-phase attention as the b=1 verify (chunk attends the
+    quantized history key-masked non-causal, plus itself causal; partials
+    merge by the no-row-max sum), vectorized over slots: per-slot history
+    lengths come from the caches' ``length`` vector, and ``active`` masks
+    the cache append so frozen slots' lengths/positions do not advance
+    (their ride-along writes land beyond their valid region, the same
+    property the engines' decode steps rely on)."""
+    from .decoding import _embed, _transformer_pass
+    from ..ops.fwd_kernel import flash_attention_forward
+    from ..quant import append, dequantize_k, dequantize_v
+
+    caches = list(tstate.caches)
+    pos0 = tstate.pos                                     # (slots,)
+    interp = jax.default_backend() != "tpu"
+
+    def attn(layer, q, k, v):
+        c = caches[layer]
+        hist_len = c.length                               # (slots,)
+        o_new, inv_new = flash_attention_forward(
+            q, k, v, None, None, bias_batch_dim=False,
+            scale=target.attn_scale, causal=True, interpret=interp)
+        k_hist = dequantize_k(c.k8, q.dtype)
+        v_hist = dequantize_v(c.v8, c.v_scale, q.dtype)
+        keep = (jnp.arange(c.k8.shape[2])[None, :] < hist_len[:, None])
+        o_hist, inv_hist = flash_attention_forward(
+            q, k_hist, v_hist, keep, None, bias_batch_dim=False,
+            scale=target.attn_scale, causal=False, interpret=interp)
+        l_new = 1.0 / inv_new
+        l_hist = 1.0 / inv_hist
+        l_tot = jnp.maximum(l_new + l_hist, 1e-10)
+        o = (o_new.astype(jnp.float32) * l_new
+             + o_hist.astype(jnp.float32) * l_hist) / l_tot
+        caches[layer] = append(c, k, v, active=active)
+        return o.astype(q.dtype)
+
+    x = _embed(target, t_params, chunk, pos0)
+    logits = _transformer_pass(target, t_params, x, attn)
+    gamma = chunk.shape[1]
+    new_pos = pos0 + gamma * active.astype(jnp.int32)
+    return logits, DecodeState(tuple(caches), new_pos)
+
+
+def make_batched_speculative_decoder(
+    target: CosineSimCausalTransformer,
+    draft: CosineSimCausalTransformer,
+    gamma: int = 4,
+    temperature: float = 0.0,
+):
+    """Multi-slot speculative round for continuous-batching engines.
+
+    Returns ``round_fn(t_params, d_params, tstate, dstate, pending,
+    active, rng) -> (tstate, dstate, pending, rng, emitted, n_emitted)``
+    where every slot advances by its OWN accepted count in one device
+    dispatch: ``emitted`` is (slots, gamma) int32 with each row's first
+    ``n_emitted[slot]`` entries valid (inactive slots emit 0).
+    ``temperature == 0`` reproduces each slot's target-greedy stream
+    exactly; otherwise the standard speculative rejection rule applies
+    per slot."""
+
+    def draft_propose(d_params, dstate, pending, active, rng):
+        def step(carry, _):
+            dstate, tok, rng = carry
+            logits, dstate = decode_step(draft, d_params, dstate, tok,
+                                         active=active)
+            if temperature == 0.0:
+                probs = jnp.zeros_like(logits, jnp.float32)
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            else:
+                probs = _softmax_probs(logits, temperature)
+                rng, sub = jax.random.split(rng)
+                nxt = jax.random.categorical(
+                    sub, logits.astype(jnp.float32) / temperature
+                ).astype(jnp.int32)
+            nxt = jnp.where(active, nxt, tok)
+            return (dstate, nxt, rng), (nxt, probs)
+
+        (dstate, _, rng), (toks, probs) = jax.lax.scan(
+            step, (dstate, pending, rng), None, length=gamma)
+        return dstate, toks, probs, rng        # toks: (gamma, slots)
+
+    @jax.jit
+    def round_fn(t_params, d_params, tstate, dstate, pending, active, rng):
+        slots = pending.shape[0]
+        n0 = tstate.pos                                       # (slots,)
+        act_i = active.astype(jnp.int32)
+
+        dstate, drafts, dprobs, rng = draft_propose(
+            d_params, dstate, pending, active, rng)
+        drafts_t = drafts.T                                   # (slots, gamma)
+
+        chunk = jnp.concatenate(
+            [pending[:, None], drafts_t[:, :-1]], axis=1)     # (slots, gamma)
+        rows, tstate = _verify_rows_batched(
+            target, t_params, tstate, chunk, active)          # (slots, g, V)
+
+        if temperature == 0.0:
+            t_choice = jnp.argmax(rows, -1).astype(jnp.int32)  # (slots, g)
+            ok = t_choice == drafts_t
+            j = jnp.argmin(jnp.concatenate(
+                [ok, jnp.zeros((slots, 1), bool)], 1).astype(jnp.int32), 1)
+            jr = jnp.minimum(j, gamma - 1)
+            replacement = jnp.take_along_axis(
+                t_choice, jr[:, None], 1)[:, 0]
+        else:
+            tprobs = _softmax_probs(rows, temperature)        # (slots, g, V)
+            rng, sub = jax.random.split(rng)
+            u = jax.random.uniform(sub, (slots, gamma))
+            pt = jnp.take_along_axis(
+                tprobs, drafts_t[..., None], 2)[..., 0]
+            pd = jnp.take_along_axis(
+                dprobs.swapaxes(0, 1), drafts_t[..., None], 2)[..., 0]
+            ok = u < jnp.minimum(1.0, pt / jnp.maximum(pd, 1e-20))
+            j = jnp.argmin(jnp.concatenate(
+                [ok, jnp.zeros((slots, 1), bool)], 1).astype(jnp.int32), 1)
+            jr = jnp.minimum(j, gamma - 1)
+            tp_r = jnp.take_along_axis(
+                tprobs, jr[:, None, None], 1)[:, 0]           # (slots, V)
+            dp_r = jnp.take_along_axis(
+                dprobs.swapaxes(0, 1), jr[:, None, None], 1)[:, 0]
+            resid = jnp.maximum(tp_r - dp_r, 0.0)
+            resid = resid / jnp.maximum(resid.sum(-1, keepdims=True), 1e-20)
+            rng, sub = jax.random.split(rng)
+            replacement = jax.random.categorical(
+                sub, jnp.log(jnp.maximum(resid, 1e-30)), axis=-1
+            ).astype(jnp.int32)
+
+        full = j == gamma
+        consumed = jnp.where(full, gamma, j + 1) * act_i      # (slots,)
+        new_pending = jnp.where(full, drafts_t[:, -1], replacement)
+        new_pending = jnp.where(active, new_pending, pending)
+
+        # per-slot rollback: lengths/positions to n0 + consumed (inactive
+        # slots: consumed == 0 -> unchanged)
+        new_len = n0 + consumed
+        tcaches = tuple(
+            c._replace(length=new_len) for c in tstate.caches)
+        dcaches = tuple(
+            c._replace(length=new_len) for c in dstate.caches)
+        tstate = DecodeState(tcaches, new_len)
+        dstate = DecodeState(dcaches, new_len)
+
+        idx = jnp.arange(gamma)[None, :]
+        emitted = jnp.where(
+            idx < j[:, None], drafts_t,
+            jnp.where(idx == j[:, None], new_pending[:, None], -1))
+        n_emitted = jnp.where(full, gamma, j + 1) * act_i
+        return tstate, dstate, new_pending, rng, emitted, n_emitted
+
+    return round_fn
+
+
 def speculative_generate(
     target: CosineSimCausalTransformer,
     t_params,

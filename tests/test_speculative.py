@@ -79,3 +79,69 @@ def test_sampled_mode_runs(models):
     a = np.asarray(toks)
     assert a.shape == (1, 16) and ((a >= 0) & (a < 64)).all()
     assert accepted > 0
+
+
+def test_batched_engine_greedy_exactness(models):
+    """SpeculativeEngine (r2 VERDICT item 8): three slots with different
+    prompts and staggered admission each reproduce the target's greedy
+    stream exactly, advancing by their own accepted counts per round."""
+    from flash_cosine_sim_attention_tpu.serving import SpeculativeEngine
+
+    target, tp, draft, dp = models
+    prompts = [np.arange(12) % 64, (np.arange(9) * 5) % 64,
+               (np.arange(15) * 3 + 1) % 64]
+    n = 16
+    refs = [
+        _greedy_reference(target, tp,
+                          jnp.asarray(p[None], jnp.int32), n, capacity=128)
+        for p in prompts
+    ]
+
+    eng = SpeculativeEngine(target, tp, draft, dp, num_slots=4,
+                            capacity=128, gamma=4, temperature=0.0,
+                            prompt_buckets=(16, 32))
+    streams = {}
+    # staggered admission: slot A decodes alone for a round first
+    sa, tok_a = eng.add_request(prompts[0])
+    streams[sa] = [tok_a]
+    out = eng.step_round()
+    for s, toks in out.items():
+        streams[s].extend(toks)
+    sb, tok_b = eng.add_request(prompts[1])
+    sc, tok_c = eng.add_request(prompts[2])
+    streams[sb] = [tok_b]
+    streams[sc] = [tok_c]
+    while min(len(v) for v in streams.values()) < n:
+        out = eng.step_round()
+        assert out, "no progress"
+        for s, toks in out.items():
+            streams[s].extend(toks)
+
+    for slot, ref in zip((sa, sb, sc), refs):
+        assert streams[slot][:n] == ref, (slot, streams[slot][:n], ref)
+
+
+def test_batched_engine_capacity_guard(models):
+    from flash_cosine_sim_attention_tpu.serving import SpeculativeEngine
+
+    target, tp, draft, dp = models
+    eng = SpeculativeEngine(target, tp, draft, dp, num_slots=2,
+                            capacity=32, gamma=4, temperature=0.0,
+                            prompt_buckets=(16,))
+    eng.add_request(np.arange(14) % 64)
+    for _ in range(3):
+        eng.step_round()  # pos grows toward 32
+        if eng.host_pos[0] + 4 > 32:
+            break
+    with pytest.raises(RuntimeError, match="capacity"):
+        while True:
+            eng.step_round()
+
+
+def test_speculative_capacity_guard(models):
+    target, tp, draft, dp = models
+    prime = jnp.asarray(np.arange(8)[None] % 64, jnp.int32)
+    with pytest.raises(ValueError, match="capacity"):
+        speculative_generate(
+            target, tp, draft, dp, jax.random.PRNGKey(0), prime, 30,
+            capacity=32, gamma=4, temperature=0.0)
