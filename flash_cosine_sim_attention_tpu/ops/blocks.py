@@ -65,7 +65,8 @@ def pick_block_sizes(dtype, head_dim: int, seq_q: int, seq_k: int,
     return block_q, block_k
 
 
-def pick_bwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
+def pick_bwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int,
+                      has_bias: bool = False):
     """(block_own, block_other_outer, block_other_inner) for the
     TRANSPOSED backward kernels.
 
@@ -79,6 +80,11 @@ def pick_bwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
     env = [os.environ.get("FCSA_BWD_" + k) for k in ("BQ", "BKO", "BKI")]
     if all(env):
         bo, bko, bki = (int(x) for x in env)
+    elif has_bias:
+        # the dQ kernel additionally streams a bias^T block AND owns an
+        # f32 dB^T output block of the same footprint (both double-
+        # buffered): a smaller outer block keeps the total inside VMEM
+        bo, bko, bki = 512, 1024, 512
     elif dtype == jnp.float32:
         bo, bko, bki = 512, 1024, 512
     else:

@@ -52,10 +52,40 @@ from .blocks import pick_block_sizes, pick_bwd_blocks_t
 LOG2E = 1.4426950408889634
 
 
+def _dot_f32x3(a, b, dims):
+    """f32 matmul as THREE bf16 MXU passes (hi/lo split, lo*lo dropped).
+
+    ``Precision.HIGHEST`` lowers to a 6-pass decomposition on the TPU MXU
+    (~7% MFU measured in the r2 backward, the reason f32 backward LOST to
+    the XLA baseline); splitting each operand as ``x = hi + lo`` (bf16
+    each, together ~16 mantissa bits) and keeping the three significant
+    cross products reaches ~1e-5 relative error — inside the f32 parity
+    budget (1e-4) — at half the passes.  Mosaic rejects the built-in
+    intermediate tiers (``Precision.HIGH``/dot-algorithm presets) inside
+    kernels, so the split is done by hand.
+    """
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    mm = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                          preferred_element_type=jnp.float32)
+    return mm(a_hi, b_hi) + (mm(a_hi, b_lo) + mm(a_lo, b_hi))
+
+
+def _make_mm(dtype):
+    """Tile-matmul dispatcher for the transposed kernels: f32 inputs get
+    the 3-pass bf16 split, bf16/f16 the native single-pass MXU path."""
+    if dtype == jnp.float32:
+        return _dot_f32x3
+    return lambda a, b, dims: jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32)
+
+
 def _dq_kernel_t(
     *refs,
     scale, causal, seq_q, seq_k, block_q, bko, bki, has_mask, out_dtype,
-    precision,
+    bias_reduce=0,
 ):
     """Transposed dQ: all tiles in (k-rows, q-lanes) orientation.
 
@@ -64,38 +94,75 @@ def _dq_kernel_t(
     (contraction bki, lanes block_q) where the row-major kernel's dS @ K
     paid the d-wide-lanes penalty.  Same big-outer-block + sub-tile
     structure as the transposed forward.
+
+    VPU economy: the host pre-scales dO^T and delta^T by inv_l (d-wide /
+    1-wide work, fused into neighboring XLA ops), so the per-element tile
+    math is just ``ds = exp2(s^T) * (dP'^T - delta')`` — the ``p = e *
+    inv_l`` full-tile multiply of the naive form never materializes, and
+    inv_l is not even an input.  Causal/edge masking is branched OUTSIDE
+    the tile math (``pl.when`` on interior vs diagonal), so interior
+    sub-tiles — the majority — run zero iota/compare/select VPU ops.
+
+    When ``bias_reduce`` > 0 the kernel ALSO produces dBias^T, folded into
+    this sweep (the tile's ``ds`` IS dS^T == dBias^T) instead of a third
+    full recompute pass (the reference accumulates dB in the same tile
+    loop via atomicAdd, cu:1574-1576).  The grid becomes
+    (bias_dim0, nq, nk, reduce) with the bias's shared axis (batch for a
+    per-head bias, heads for a per-batch bias; length ``bias_reduce``)
+    INNERMOST, so consecutive grid steps revisit the same dbT output
+    block and accumulate in its VMEM buffer; the dq accumulator grows a
+    per-reduce-step leading axis to survive the interleaving.
     """
     idx = 0
     qT_ref = refs[idx]; idx += 1          # (1, 1, d, block_q)
     k_ref = refs[idx]; idx += 1           # (1, 1, bko, d)
     v_ref = refs[idx]; idx += 1           # (1, 1, bko, d)
-    doT_ref = refs[idx]; idx += 1         # (1, 1, d, block_q)
-    deltaT_ref = refs[idx]; idx += 1      # (1, 1, 1, block_q)
-    invlT_ref = refs[idx]; idx += 1       # (1, 1, 1, block_q)
+    doT_ref = refs[idx]; idx += 1         # (1, 1, d, block_q), pre * inv_l
+    deltaT_ref = refs[idx]; idx += 1      # (1, 1, 1, block_q), pre * inv_l
     mask_ref = None
+    biasT_ref = None
     if has_mask:
         mask_ref = refs[idx]; idx += 1    # (1, bko, 1) f32
-    dqT_ref, dq_acc = refs[idx], refs[idx + 1]   # acc: (d, block_q) f32
-
-    qi = pl.program_id(2)
-    ki = pl.program_id(3)
-    nk = pl.num_programs(3)
+    has_bias = bias_reduce > 0
+    if has_bias:
+        biasT_ref = refs[idx]; idx += 1   # (1, bko, block_q) j-major
+        dqT_ref, dbT_ref, dq_acc = refs[idx], refs[idx + 1], refs[idx + 2]
+        qi = pl.program_id(1)
+        ki = pl.program_id(2)
+        nk = pl.num_programs(2)
+        ri = pl.program_id(3)             # the bias-shared (reduce) axis
+    else:
+        dqT_ref, dq_acc = refs[idx], refs[idx + 1]  # acc: (d, block_q) f32
+        qi = pl.program_id(2)
+        ki = pl.program_id(3)
+        nk = pl.num_programs(3)
     seq_len_diff = seq_k - seq_q
 
-    @pl.when(ki == 0)
-    def _init():
-        dq_acc[...] = jnp.zeros_like(dq_acc)
+    if has_bias:
+        @pl.when(ri == 0)
+        def _init_db():
+            # zero the whole dbT block unconditionally: causal-skipped
+            # blocks must land as zeros, and sub-tiles accumulate slices
+            dbT_ref[...] = jnp.zeros_like(dbT_ref)
+
+        @pl.when(ki == 0)
+        def _init():
+            dq_acc[ri] = jnp.zeros_like(dq_acc[ri])
+    else:
+        @pl.when(ki == 0)
+        def _init():
+            dq_acc[...] = jnp.zeros_like(dq_acc)
 
     q_last = qi * block_q + block_q - 1 + seq_len_diff
     run = (q_last >= ki * bko) if causal else True
 
     @pl.when(run)
     def _tile():
+        mm = _make_mm(qT_ref.dtype)
         c = scale * LOG2E
         qT = (qT_ref[0, 0].astype(jnp.float32) * c).astype(qT_ref.dtype)
         doT = doT_ref[0, 0]
-        inv_l = invlT_ref[0, 0]           # (1, block_q)
-        delta = deltaT_ref[0, 0]          # (1, block_q)
+        delta = deltaT_ref[0, 0]          # (1, block_q), pre-scaled
         row = qi * block_q + seq_len_diff + jax.lax.broadcasted_iota(
             jnp.int32, (bki, block_q), 1)
 
@@ -104,64 +171,89 @@ def _dq_kernel_t(
             col0 = ki * bko + j * bki
             edge_possible = (nk - 1) * bko + (j + 1) * bki > seq_k
 
-            def _sub(j=j, col0=col0, edge_possible=edge_possible):
+            def _sub(masked, j=j, col0=col0, edge_possible=edge_possible):
                 kj = k_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
                 vj = v_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
-                sT = jax.lax.dot_general(
-                    kj, qT, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)                       # (bki, block_q)
-                dpT = jax.lax.dot_general(
-                    vj, doT, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)
-                e = jnp.exp2(sT)
-                p = e * inv_l
-                ds = p * (dpT - delta)
+                sT = mm(kj, qT,
+                        (((1,), (0,)), ((), ())))              # (bki, block_q)
+                if has_bias:
+                    sT = sT + biasT_ref[
+                        0, j * bki:(j + 1) * bki].astype(jnp.float32) * LOG2E
+                dpT = mm(vj, doT, (((1,), (0,)), ((), ())))
+                ds = jnp.exp2(sT) * (dpT - delta)
 
                 keep = None
                 col_s = None
-                if edge_possible or causal:
+                if masked and (edge_possible or causal):
                     col_s = col0 + jax.lax.broadcasted_iota(
                         jnp.int32, (bki, block_q), 0)
-                if edge_possible:
+                if masked and edge_possible:
                     keep = col_s < seq_k
-                if causal:
-                    sub_interior = col0 + bki - 1 <= (
-                        qi * block_q + seq_len_diff)
-                    cc = jnp.logical_or(sub_interior, col_s <= row)
+                if masked and causal:
+                    cc = col_s <= row
                     keep = cc if keep is None else keep & cc
                 if has_mask:
                     km = mask_ref[0, j * bki:(j + 1) * bki] > 0
                     keep = km if keep is None else keep & km
                 if keep is not None:
                     ds = jnp.where(keep, ds, 0.0)
+                if has_bias:
+                    # ds IS dS^T == dBias^T for this tile (pre-scale: the
+                    # reference, too, accumulates dB before ds *= scale,
+                    # cu:1574-1582); q-lane bounds need no mask — OOB
+                    # lanes fall outside the array at write-back
+                    dbT_ref[0, j * bki:(j + 1) * bki] += ds
                 # K's OOB rows multiply only zeroed ds rows, but garbage
                 # can be non-finite: zero them
-                if edge_possible and seq_k % bki != 0:
+                if masked and edge_possible and seq_k % bki != 0:
                     k_rows = col0 + jax.lax.broadcasted_iota(
                         jnp.int32, (bki, 1), 0)
                     kj = jnp.where(k_rows < seq_k, kj, jnp.zeros_like(kj))
 
-                dq_acc[...] += jax.lax.dot_general(
-                    kj, ds.astype(kj.dtype), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)                       # (d, block_q)
+                dq_upd = mm(kj, ds.astype(kj.dtype),
+                            (((0,), (0,)), ((), ())))          # (d, block_q)
+                if has_bias:
+                    dq_acc[ri] += dq_upd
+                else:
+                    dq_acc[...] += dq_upd
 
+            # static: can this j's sub-tile ever touch the sequence edge?
             if causal:
-                pl.when(q_last >= col0)(_sub)
+                # three-way branch on the (traced) diagonal position:
+                # fully-above -> skip; straddling -> masked math;
+                # fully-below -> fast path with no mask ops at all
+                sub_interior = col0 + bki - 1 <= (
+                    qi * block_q + seq_len_diff)
+                sub_visible = q_last >= col0
+                pl.when(sub_visible & jnp.logical_not(sub_interior))(
+                    lambda: _sub(True))
+                if edge_possible:
+                    pl.when(sub_interior)(lambda: _sub(True))
+                else:
+                    pl.when(sub_interior)(lambda: _sub(False))
+            elif edge_possible:
+                _sub(True)
             else:
-                _sub()
+                _sub(False)
 
-    @pl.when(ki == nk - 1)
-    def _finalize():
-        dqT_ref[0, 0] = (dq_acc[...] * scale).astype(out_dtype)
+    if has_bias:
+        @pl.when(ki == nk - 1)
+        def _finalize():
+            # the dq output block's index changes every step (reduce is
+            # innermost), so Pallas writes the buffer back each step; only
+            # the LAST visit of each (reduce, qi) block — here, ki == nk-1
+            # — must hold the finished dq, and it does
+            dqT_ref[0, 0] = (dq_acc[ri] * scale).astype(out_dtype)
+    else:
+        @pl.when(ki == nk - 1)
+        def _finalize():
+            dqT_ref[0, 0] = (dq_acc[...] * scale).astype(out_dtype)
 
 
 def _dkdv_kernel_t(
     *refs,
-    scale, causal, seq_q, seq_k, block_k, bqo, bqi, has_mask, q_per_kv,
-    out_dtype, precision,
+    scale, causal, seq_q, seq_k, block_k, bqo, bqi, has_mask, has_bias,
+    q_per_kv, out_dtype,
 ):
     """Transposed dKdV: tiles in (k-rows, q-lanes) orientation.
 
@@ -170,17 +262,25 @@ def _dkdv_kernel_t(
     the s^T / dP^T recomputes keep the d-deep contraction penalty.
     Grid (b, nk, h, nq_outer) with (h, q) innermost so a KV head's
     accumulators survive its whole query-head group (GQA / MQA).
+
+    Like the dQ kernel, dO^T/delta^T arrive pre-scaled by inv_l, so
+    P never materializes: dV consumes exp2(s^T) directly
+    (dV = sum_q (dO*inv_l)[q] e[k,q] == sum_q dO[q] P[k,q]) and
+    ``ds = e * (dP'^T - delta')``.  Interior sub-tiles branch past all
+    mask construction.
     """
     idx = 0
     qT_ref = refs[idx]; idx += 1          # (1, 1, d, bqo)
     k_ref = refs[idx]; idx += 1           # (1, 1, block_k, d)
     v_ref = refs[idx]; idx += 1           # (1, 1, block_k, d)
-    doT_ref = refs[idx]; idx += 1         # (1, 1, d, bqo)
-    deltaT_ref = refs[idx]; idx += 1      # (1, 1, 1, bqo)
-    invlT_ref = refs[idx]; idx += 1       # (1, 1, 1, bqo)
+    doT_ref = refs[idx]; idx += 1         # (1, 1, d, bqo), pre * inv_l
+    deltaT_ref = refs[idx]; idx += 1      # (1, 1, 1, bqo), pre * inv_l
     mask_ref = None
+    biasT_ref = None
     if has_mask:
         mask_ref = refs[idx]; idx += 1    # (1, block_k, 1)
+    if has_bias:
+        biasT_ref = refs[idx]; idx += 1   # (1, block_k, bqo) j-major
     dkT_ref, dvT_ref, dk_acc, dv_acc = refs[idx : idx + 4]  # (d, block_k)
 
     # grid = (b, k_blocks, h, q_outer_blocks)
@@ -205,20 +305,19 @@ def _dkdv_kernel_t(
 
     @pl.when(run)
     def _tile():
+        mm = _make_mm(qT_ref.dtype)
         c = scale * LOG2E
         k = k_ref[0, 0]                   # (block_k, d)
-        col_k = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_k, bqi), 0)
 
         n_sub = bqo // bqi
         for j in range(n_sub):
             q0 = qi * bqo + j * bqi
             q_edge = (nq - 1) * bqo + (j + 1) * bqi > seq_q
 
-            def _sub(j=j, q0=q0, q_edge=q_edge):
+            def _sub(masked, j=j, q0=q0, q_edge=q_edge):
                 qTj_raw = qT_ref[0, 0, :, j * bqi:(j + 1) * bqi]  # (d, bqi)
                 doTj = doT_ref[0, 0, :, j * bqi:(j + 1) * bqi]
-                if q_edge and seq_q % bqi != 0:
+                if masked and q_edge and seq_q % bqi != 0:
                     # zero Q/dO's OOB lanes: they CONTRACT into dk/dv and
                     # 0 * garbage = NaN otherwise
                     lane_q = q0 + jax.lax.broadcasted_iota(
@@ -228,63 +327,64 @@ def _dkdv_kernel_t(
                                         jnp.zeros_like(qTj_raw))
                     doTj = jnp.where(in_b, doTj, jnp.zeros_like(doTj))
                 qTj = (qTj_raw.astype(jnp.float32) * c).astype(qT_ref.dtype)
-                inv_l = invlT_ref[0, 0, :, j * bqi:(j + 1) * bqi]
                 delta = deltaT_ref[0, 0, :, j * bqi:(j + 1) * bqi]
 
-                sT = jax.lax.dot_general(
-                    k, qTj, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)                      # (block_k, bqi)
-                dpT = jax.lax.dot_general(
-                    v_ref[0, 0], doTj, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)
+                sT = mm(k, qTj,
+                        (((1,), (0,)), ((), ())))             # (block_k, bqi)
+                if has_bias:
+                    sT = sT + biasT_ref[
+                        0, :, j * bqi:(j + 1) * bqi
+                    ].astype(jnp.float32) * LOG2E
+                dpT = mm(v_ref[0, 0], doTj, (((1,), (0,)), ((), ())))
                 e = jnp.exp2(sT)
-                p = e * inv_l
-                ds = p * (dpT - delta)
+                ds = e * (dpT - delta)
 
-                # q-side bounds: OOB q lanes carry garbage inv_l/delta
+                # q-side bounds: OOB q lanes carry garbage delta/dO
                 # (possibly non-finite) that would poison dk/dv through
                 # the contraction over q
                 keep = None
                 row_q = None
-                if q_edge or causal:
+                if masked and (q_edge or causal):
                     row_q = q0 + jax.lax.broadcasted_iota(
                         jnp.int32, (block_k, bqi), 1)
-                if q_edge:
+                if masked and q_edge:
                     keep = row_q < seq_q
-                if causal:
-                    sub_interior = (ki * block_k + block_k - 1
-                                    <= q0 + seq_len_diff)
-                    cc = jnp.logical_or(sub_interior,
-                                        col_k <= row_q + seq_len_diff)
+                if masked and causal:
+                    col_k = ki * block_k + jax.lax.broadcasted_iota(
+                        jnp.int32, (block_k, bqi), 0)
+                    cc = col_k <= row_q + seq_len_diff
                     keep = cc if keep is None else keep & cc
                 if has_mask:
                     km = mask_ref[0] > 0                      # (block_k, 1)
                     keep = km if keep is None else keep & km
                 if keep is not None:
-                    p2 = jnp.where(keep, p, 0.0)
+                    p2 = jnp.where(keep, e, 0.0)
                     ds2 = jnp.where(keep, ds, 0.0)
                 else:
-                    p2, ds2 = p, ds
+                    p2, ds2 = e, ds
 
-                dv_acc[...] += jax.lax.dot_general(
-                    doTj, p2.astype(doTj.dtype), (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)                      # (d, block_k)
-                dk_acc[...] += jax.lax.dot_general(
-                    qTj_raw, ds2.astype(qTj_raw.dtype),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision)                      # (d, block_k)
+                dv_acc[...] += mm(doTj, p2.astype(doTj.dtype),
+                                  (((1,), (1,)), ((), ())))   # (d, block_k)
+                dk_acc[...] += mm(qTj_raw, ds2.astype(qTj_raw.dtype),
+                                  (((1,), (1,)), ((), ())))   # (d, block_k)
 
             if causal:
-                # q sub-tiles whose LAST row is above this k block see
-                # nothing of it
-                pl.when(q0 + bqi - 1 + seq_len_diff
-                        >= ki * block_k)(_sub)
+                # three-way: q sub-tiles whose LAST row is above this k
+                # block see nothing; straddling tiles mask; tiles whose
+                # FIRST row already sees the whole k block skip mask ops
+                sub_interior = (ki * block_k + block_k - 1
+                                <= q0 + seq_len_diff)
+                sub_visible = q0 + bqi - 1 + seq_len_diff >= ki * block_k
+                pl.when(sub_visible & jnp.logical_not(sub_interior))(
+                    lambda: _sub(True))
+                if q_edge:
+                    pl.when(sub_interior)(lambda: _sub(True))
+                else:
+                    pl.when(sub_interior)(lambda: _sub(False))
+            elif q_edge:
+                _sub(True)
             else:
-                _sub()
+                _sub(False)
 
     @pl.when(is_last)
     def _finalize():
@@ -330,43 +430,73 @@ def _recompute_p_and_ds(
 
 
 def _backward_transposed(
-    do, o, inv_l, q, k, v, mask, *, scale, causal,
-    block_q, block_k, interpret,
+    do, o, inv_l, q, k, v, mask, bias=None, *, scale, causal,
+    block_q, block_k, interpret, bias_batch_dim=False,
+    blocks_t=None, blocks_t_kv=None,
 ):
-    """Transposed no-bias backward; returns (dq, dk, dv)."""
+    """Transposed backward; returns (dq, dk, dv, db_or_None).
+
+    With a bias, dB^T is folded into the dQ kernel's sweep (it already
+    computes every dS^T tile — see _dq_kernel_t) instead of a third full
+    recompute pass; the bias itself rides as a one-time j-major relayout
+    shared by both kernels (CSE'd with the forward's inside one jit).
+
+    ``blocks_t`` / ``blocks_t_kv`` override the (owned, outer, inner)
+    block triples of the dQ / dKdV kernels directly (sweep harness hook);
+    otherwise ``block_q``/``block_k`` keep their public row-major meaning
+    on top of the tuned table.
+    """
     b, h, seq_q, d = q.shape
     kvh = k.shape[1]
     seq_k = k.shape[2]
     q_per_kv = h // kvh
+    has_bias = bias is not None
+    # the bias's shared axis (reduced into dB): batch for a per-head
+    # bias, heads for a per-batch bias
+    bias_reduce = (h if bias_batch_dim else b) if has_bias else 0
 
-    bo_d, bko_d, bki_d = pick_bwd_blocks_t(q.dtype, d, seq_q, seq_k)
-    bq = block_q or bo_d           # owned-block lane width (both kernels)
+    bo_d, bko_d, bki_d = pick_bwd_blocks_t(
+        q.dtype, d, seq_q, seq_k, has_bias=has_bias)
+    if blocks_t is not None:
+        bo_d, bko_d, bki_d = blocks_t
+    bq = block_q or bo_d           # dQ's owned block (lane width)
     bko = block_k or bko_d         # streamed outer block
     bki = min(block_k or bki_d, bko)
     if bko % bki:
         bki = bko  # remainder sub-tiles would drop columns
-    bk_own = bq                    # dKdV's owned k block (lanes)
+    # dKdV's own triple: (owned k lanes, outer q stream, inner q sub-tile)
+    kv_o, kv_bko, kv_bki = (blocks_t_kv if blocks_t_kv is not None
+                            else (bq, bko, bki))
+    kv_bki = min(kv_bki, kv_bko)
+    if kv_bko % kv_bki:
+        kv_bki = kv_bko
+    bk_own = kv_o                  # dKdV's owned k block (lanes)
     nq = pl.cdiv(seq_q, bq)
     nk = pl.cdiv(seq_k, bko)
     nko = pl.cdiv(seq_k, bk_own)
-    nqo = pl.cdiv(seq_q, bko)      # dKdV streams q in bko-outer blocks
+    nqo = pl.cdiv(seq_q, kv_bko)   # dKdV streams q in kv_bko-outer blocks
 
+    # pre-scale dO and delta by inv_l on the host side (fused XLA
+    # elementwise, O(n*d) work): P = e * inv_l then never materializes in
+    # the kernels — ds = e * (dP' - delta') and dV consumes e directly —
+    # saving a full-tile VPU multiply per sub-tile in BOTH kernels and the
+    # whole inv_l input stream
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
         keepdims=True)
-    deltaT = delta.swapaxes(-1, -2)     # (b, h, 1, i)
-    invlT = inv_l.swapaxes(-1, -2)      # (b, h, 1, i)
-    qT = q.swapaxes(-1, -2)             # (b, h, d, i)
-    doT = do.swapaxes(-1, -2)
+    deltaT = (delta * inv_l).swapaxes(-1, -2)        # (b, h, 1, i)
+    qT = q.swapaxes(-1, -2)                          # (b, h, d, i)
+    doT = (do.astype(jnp.float32) * inv_l).astype(do.dtype)\
+        .swapaxes(-1, -2)                            # (b, h, d, i)
 
     has_mask = mask is not None
     mask_s = mask.astype(jnp.float32)[:, :, None] if has_mask else None
-    precision = (jax.lax.Precision.HIGHEST
-                 if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    biasT = bias.swapaxes(-1, -2) if has_bias else None  # (b|h, j, i)
     kv_head = (lambda hi: hi) if kvh == h else (lambda hi: hi // q_per_kv)
     seq_len_diff = seq_k - seq_q
 
     # ---- dQ: grid (b, h, nq, nk); causal DMA elision on the K side ----
+    # (with a bias: grid (bias_dim0, nq, nk, reduce) — see _dq_kernel_t)
     if causal:
         def clamp_k(qi, ki):
             last_k = jnp.clip(
@@ -375,80 +505,159 @@ def _backward_transposed(
     else:
         clamp_k = lambda qi, ki: ki
 
-    dq_specs = [
-        pl.BlockSpec((1, 1, d, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
-        pl.BlockSpec((1, 1, bko, d),
-                     lambda bi, hi, qi, ki: (bi, kv_head(hi),
-                                             clamp_k(qi, ki), 0)),
-        pl.BlockSpec((1, 1, bko, d),
-                     lambda bi, hi, qi, ki: (bi, kv_head(hi),
-                                             clamp_k(qi, ki), 0)),
-        pl.BlockSpec((1, 1, d, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
-        pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
-        pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
-    ]
-    dq_args = [qT, k, v, doT, deltaT, invlT]
-    if has_mask:
-        dq_args.append(mask_s)
+    if has_bias:
+        # map this grid's ids onto (batch, head): the non-shared bias axis
+        # leads the grid, the shared one is the innermost reduce
+        if bias_batch_dim:
+            gb = lambda oi, ri: oi      # bias (b, i, j): reduce over heads
+            gh = lambda oi, ri: ri
+        else:
+            gb = lambda oi, ri: ri      # bias (h, i, j): reduce over batch
+            gh = lambda oi, ri: oi
+        dq_specs = [
+            pl.BlockSpec((1, 1, d, bq),
+                         lambda oi, qi, ki, ri: (gb(oi, ri), gh(oi, ri),
+                                                 0, qi)),
+            pl.BlockSpec((1, 1, bko, d),
+                         lambda oi, qi, ki, ri: (gb(oi, ri),
+                                                 kv_head(gh(oi, ri)),
+                                                 clamp_k(qi, ki), 0)),
+            pl.BlockSpec((1, 1, bko, d),
+                         lambda oi, qi, ki, ri: (gb(oi, ri),
+                                                 kv_head(gh(oi, ri)),
+                                                 clamp_k(qi, ki), 0)),
+            pl.BlockSpec((1, 1, d, bq),
+                         lambda oi, qi, ki, ri: (gb(oi, ri), gh(oi, ri),
+                                                 0, qi)),
+            pl.BlockSpec((1, 1, 1, bq),
+                         lambda oi, qi, ki, ri: (gb(oi, ri), gh(oi, ri),
+                                                 0, qi)),
+        ]
+        dq_args = [qT, k, v, doT, deltaT]
+        if has_mask:
+            dq_args.append(mask_s)
+            dq_specs.append(
+                pl.BlockSpec((1, bko, 1),
+                             lambda oi, qi, ki, ri: (gb(oi, ri),
+                                                     clamp_k(qi, ki), 0)))
+        dq_args.append(biasT)
         dq_specs.append(
-            pl.BlockSpec((1, bko, 1),
-                         lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki), 0)))
+            pl.BlockSpec((1, bko, bq),
+                         lambda oi, qi, ki, ri: (oi, clamp_k(qi, ki), qi)))
 
-    dqT = pl.pallas_call(
-        functools.partial(
-            _dq_kernel_t, scale=float(scale), causal=causal, seq_q=seq_q,
-            seq_k=seq_k, block_q=bq, bko=bko, bki=bki, has_mask=has_mask,
-            out_dtype=q.dtype, precision=precision),
-        grid=(b, h, nq, nk),
-        in_specs=dq_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, d, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
-        out_shape=jax.ShapeDtypeStruct((b, h, d, seq_q), q.dtype),
-        scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
-        interpret=interpret,
-    )(*dq_args)
+        dqT, dbT = pl.pallas_call(
+            functools.partial(
+                _dq_kernel_t, scale=float(scale), causal=causal,
+                seq_q=seq_q, seq_k=seq_k, block_q=bq, bko=bko, bki=bki,
+                has_mask=has_mask, out_dtype=q.dtype,
+                bias_reduce=bias_reduce),
+            grid=(biasT.shape[0], nq, nk, bias_reduce),
+            in_specs=dq_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, d, bq),
+                             lambda oi, qi, ki, ri: (gb(oi, ri),
+                                                     gh(oi, ri), 0, qi)),
+                # NOT k-clamped: every (ki, qi) owns a distinct dB^T block
+                pl.BlockSpec((1, bko, bq),
+                             lambda oi, qi, ki, ri: (oi, ki, qi)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, d, seq_q), q.dtype),
+                jax.ShapeDtypeStruct((biasT.shape[0], seq_k, seq_q),
+                                     jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((bias_reduce, d, bq), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary",
+                                     "arbitrary")),
+            interpret=interpret,
+        )(*dq_args)
+        db = dbT.swapaxes(-1, -2).astype(bias.dtype)
+    else:
+        db = None
+        dq_specs = [
+            pl.BlockSpec((1, 1, d, bq),
+                         lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, bko, d),
+                         lambda bi, hi, qi, ki: (bi, kv_head(hi),
+                                                 clamp_k(qi, ki), 0)),
+            pl.BlockSpec((1, 1, bko, d),
+                         lambda bi, hi, qi, ki: (bi, kv_head(hi),
+                                                 clamp_k(qi, ki), 0)),
+            pl.BlockSpec((1, 1, d, bq),
+                         lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 1, bq),
+                         lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        ]
+        dq_args = [qT, k, v, doT, deltaT]
+        if has_mask:
+            dq_args.append(mask_s)
+            dq_specs.append(
+                pl.BlockSpec((1, bko, 1),
+                             lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki),
+                                                     0)))
+
+        dqT = pl.pallas_call(
+            functools.partial(
+                _dq_kernel_t, scale=float(scale), causal=causal,
+                seq_q=seq_q, seq_k=seq_k, block_q=bq, bko=bko, bki=bki,
+                has_mask=has_mask, out_dtype=q.dtype),
+            grid=(b, h, nq, nk),
+            in_specs=dq_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, d, bq), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+            out_shape=jax.ShapeDtypeStruct((b, h, d, seq_q), q.dtype),
+            scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary")),
+            interpret=interpret,
+        )(*dq_args)
 
     # ---- dKdV: grid (b, nko, h, nqo); elide q blocks above diagonal ----
     if causal:
         def clamp_q(ki, qi):
             first_q = jnp.clip(
-                (ki * bk_own - seq_len_diff) // bko, 0, nqo - 1)
+                (ki * bk_own - seq_len_diff) // kv_bko, 0, nqo - 1)
             return jnp.maximum(qi, first_q)
     else:
         clamp_q = lambda ki, qi: qi
 
     dkv_specs = [
-        pl.BlockSpec((1, 1, d, bko),
+        pl.BlockSpec((1, 1, d, kv_bko),
                      lambda bi, ki, hi, qi: (bi, hi, 0, clamp_q(ki, qi))),
         pl.BlockSpec((1, 1, bk_own, d),
                      lambda bi, ki, hi, qi: (bi, kv_head(hi), ki, 0)),
         pl.BlockSpec((1, 1, bk_own, d),
                      lambda bi, ki, hi, qi: (bi, kv_head(hi), ki, 0)),
-        pl.BlockSpec((1, 1, d, bko),
+        pl.BlockSpec((1, 1, d, kv_bko),
                      lambda bi, ki, hi, qi: (bi, hi, 0, clamp_q(ki, qi))),
-        pl.BlockSpec((1, 1, 1, bko),
-                     lambda bi, ki, hi, qi: (bi, hi, 0, clamp_q(ki, qi))),
-        pl.BlockSpec((1, 1, 1, bko),
+        pl.BlockSpec((1, 1, 1, kv_bko),
                      lambda bi, ki, hi, qi: (bi, hi, 0, clamp_q(ki, qi))),
     ]
-    dkv_args = [qT, k, v, doT, deltaT, invlT]
+    dkv_args = [qT, k, v, doT, deltaT]
     if has_mask:
         dkv_args.append(mask_s)
         dkv_specs.append(
             pl.BlockSpec((1, bk_own, 1),
                          lambda bi, ki, hi, qi: (bi, ki, 0)))
+    if has_bias:
+        bias_dim = (lambda bi, hi: bi) if bias_batch_dim \
+            else (lambda bi, hi: hi)
+        dkv_args.append(biasT)
+        dkv_specs.append(
+            pl.BlockSpec((1, bk_own, kv_bko),
+                         lambda bi, ki, hi, qi: (bias_dim(bi, hi), ki,
+                                                 clamp_q(ki, qi))))
 
     kv_out_spec = pl.BlockSpec(
         (1, 1, d, bk_own), lambda bi, ki, hi, qi: (bi, kv_head(hi), 0, ki))
     dkT, dvT = pl.pallas_call(
         functools.partial(
             _dkdv_kernel_t, scale=float(scale), causal=causal, seq_q=seq_q,
-            seq_k=seq_k, block_k=bk_own, bqo=bko, bqi=bki,
-            has_mask=has_mask, q_per_kv=q_per_kv,
-            out_dtype=k.dtype, precision=precision),
+            seq_k=seq_k, block_k=bk_own, bqo=kv_bko, bqi=kv_bki,
+            has_mask=has_mask, has_bias=has_bias, q_per_kv=q_per_kv,
+            out_dtype=k.dtype),
         grid=(b, nko, h, nqo),
         in_specs=dkv_specs,
         out_specs=[kv_out_spec, kv_out_spec],
@@ -469,7 +678,7 @@ def _backward_transposed(
     )(*dkv_args)
 
     return (dqT.swapaxes(-1, -2), dkT.swapaxes(-1, -2),
-            dvT.swapaxes(-1, -2))
+            dvT.swapaxes(-1, -2), db)
 
 
 def _dq_kernel(
@@ -803,6 +1012,8 @@ def flash_attention_backward(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: bool = False,
+    blocks_t=None,
+    blocks_t_kv=None,
 ):
     """Full backward; returns (dq, dk, dv, db_or_None)."""
     b, h, seq_q, d = q.shape
@@ -811,14 +1022,19 @@ def flash_attention_backward(
     assert h % kvh == 0, (h, kvh)
     q_per_kv = h // kvh
 
-    if bias is None:
-        # hot path: transposed kernels (full-rate dQ^T/dK^T/dV^T matmuls);
-        # the bias path keeps the row-major kernels for the same j-major
-        # relayout reason as the forward
-        dq, dk, dv = _backward_transposed(
-            do, o, inv_l, q, k, v, mask, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k, interpret=interpret)
-        return dq, dk, dv, None
+    # transposed kernels (full-rate dQ^T/dK^T/dV^T matmuls) are the hot
+    # path, bias included (dB^T folds into the dQ sweep).  The dB fold's
+    # per-reduce-step dq accumulator scales VMEM with the bias's shared
+    # axis, so unusually large reduce axes fall back to the row-major
+    # kernels + separate dB pass below.
+    bias_reduce = 0 if bias is None else (h if bias_batch_dim else b)
+    if bias_reduce <= 16:
+        dq, dk, dv, db = _backward_transposed(
+            do, o, inv_l, q, k, v, mask, bias, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+            bias_batch_dim=bias_batch_dim,
+            blocks_t=blocks_t, blocks_t_kv=blocks_t_kv)
+        return dq, dk, dv, db
 
     bq_d, bk_d = pick_block_sizes(q.dtype, d, seq_q, seq_k, kind="bwd")
     block_q = block_q or bq_d

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .blocks import EPS, pick_block_sizes, pick_fwd_blocks_t
+from .blocks import EPS, pick_fwd_blocks_t
 
 LOG2E = 1.4426950408889634
 
@@ -52,6 +52,7 @@ def _fwd_kernel_t(
     bko: int,
     bki: int,
     has_mask: bool,
+    has_bias: bool,
     out_dtype,
     precision,
     s_dequant: float,
@@ -77,8 +78,11 @@ def _fwd_kernel_t(
     k_ref = refs[idx]; idx += 1           # (1, 1, bko, d)
     vT_ref = refs[idx]; idx += 1          # (1, 1, d, bko)
     mask_ref = None
+    biasT_ref = None
     if has_mask:
         mask_ref = refs[idx]; idx += 1    # (1, bko, 1) f32
+    if has_bias:
+        biasT_ref = refs[idx]; idx += 1   # (1, bko, block_q) j-major
     oT_ref, lT_ref, acc_ref, lsum_ref = refs[idx : idx + 4]
 
     qi = pl.program_id(2)
@@ -116,18 +120,29 @@ def _fwd_kernel_t(
 
             def _sub(j=j, col0=col0, edge_possible=edge_possible):
                 kj = k_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
+                if has_bias:
+                    # bias arrives j-major (bias^T): same (k-rows,
+                    # q-lanes) orientation as s^T, so it adds straight
+                    # into the logits with no in-kernel relayout
+                    biasT_j = biasT_ref[
+                        0, j * bki:(j + 1) * bki].astype(jnp.float32)
                 if kj.dtype == jnp.int8:
                     sT = jax.lax.dot_general(
                         kj, qT_ref[0, 0], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     ).astype(jnp.float32)
-                    e = jnp.exp2(sT * (c * s_dequant))
+                    logits2 = sT * (c * s_dequant)
+                    if has_bias:
+                        logits2 = logits2 + biasT_j * LOG2E
+                    e = jnp.exp2(logits2)
                 else:
                     sT = jax.lax.dot_general(
                         kj, qT, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=precision,
                     )                                          # (bki, block_q)
+                    if has_bias:
+                        sT = sT + biasT_j * LOG2E
                     e = jnp.exp2(sT)
 
                 # k positions ride the SUBLANES.  Predicates on the traced
@@ -182,9 +197,17 @@ def _fwd_kernel_t(
 
 
 def _forward_transposed(
-    q, k, v, mask, *, scale, causal, block_q, block_k, interpret, s_dequant,
+    q, k, v, mask, biasT=None, *, scale, causal, block_q, block_k,
+    interpret, s_dequant, bias_batch_dim=False,
 ):
-    """Launch the transposed kernel; returns (o, inv_l (b,h,i,1))."""
+    """Launch the transposed kernel; returns (o, inv_l (b,h,i,1)).
+
+    ``biasT`` is the j-major transpose of the attention bias,
+    (b|h, seq_k, seq_q): the one-time XLA relayout at the API is amortized
+    across the forward and both backward kernels (inside one jit the
+    backward's identical transpose CSEs with this one), and every kernel
+    then streams bias tiles already in its (k-rows, q-lanes) orientation.
+    """
     b, h, seq_q, d = q.shape
     kvh = k.shape[1]
     seq_k = k.shape[2]
@@ -228,18 +251,26 @@ def _forward_transposed(
     ]
     args = [qT, k, vT]
     has_mask = mask is not None
+    has_bias = biasT is not None
     if has_mask:
         # (b, j, 1) f32: key-mask values ride the sublanes
         args.append(mask.astype(jnp.float32)[:, :, None])
         in_specs.append(
             pl.BlockSpec((1, bko, 1),
                          lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki), 0)))
+    if has_bias:
+        args.append(biasT)
+        if bias_batch_dim:
+            biasT_idx = lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki), qi)
+        else:
+            biasT_idx = lambda bi, hi, qi, ki: (hi, clamp_k(qi, ki), qi)
+        in_specs.append(pl.BlockSpec((1, bko, bq), biasT_idx))
 
     out_dtype = v.dtype if q.dtype == jnp.int8 else q.dtype
     kernel = functools.partial(
         _fwd_kernel_t,
         scale=float(scale), causal=causal, seq_q=seq_q, seq_k=seq_k,
-        block_q=bq, bko=bko, bki=bki, has_mask=has_mask,
+        block_q=bq, bko=bko, bki=bki, has_mask=has_mask, has_bias=has_bias,
         out_dtype=out_dtype,
         precision=(jax.lax.Precision.HIGHEST
                    if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT),
@@ -271,154 +302,6 @@ def _forward_transposed(
     return oT.swapaxes(-1, -2), lT.swapaxes(-1, -2)
 
 
-def _fwd_kernel(
-    # refs (mask/bias optional, controlled by has_mask/has_bias)
-    *refs,
-    scale: float,
-    causal: bool,
-    seq_q: int,
-    seq_k: int,
-    block_q: int,
-    block_k: int,
-    has_mask: bool,
-    has_bias: bool,
-    out_dtype,
-    precision,
-    s_dequant: float,
-):
-    idx = 0
-    q_ref = refs[idx]; idx += 1
-    k_ref = refs[idx]; idx += 1
-    v_ref = refs[idx]; idx += 1
-    mask_ref = None
-    bias_ref = None
-    if has_mask:
-        mask_ref = refs[idx]; idx += 1
-    if has_bias:
-        bias_ref = refs[idx]; idx += 1
-    o_ref, l_ref, acc_ref, lsum_ref = refs[idx : idx + 4]
-
-    qi = pl.program_id(2)
-    ki = pl.program_id(3)
-    nk = pl.num_programs(3)
-    seq_len_diff = seq_k - seq_q  # cross-attn causal alignment (cu:1097)
-
-    @pl.when(ki == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        lsum_ref[...] = jnp.zeros_like(lsum_ref)
-
-    # skip tiles that are fully above the causal diagonal (cu:1178)
-    q_last_global = qi * block_q + block_q - 1 + seq_len_diff
-    run = (q_last_global >= ki * block_k) if causal else True
-
-    def _tile(masked: bool):
-        """One tile of the streaming attention; ``masked`` selects whether
-        the bounds/causal epilogue is applied (the dynamic key mask, when
-        present, is applied on EVERY path — interior tiles included)."""
-        q = q_ref[0, 0]  # (block_q, d)
-        k = k_ref[0, 0]  # (block_k, d)
-        v = v_ref[0, 0]  # (block_k, d)
-
-        # zero V's out-of-bounds rows: pallas pads OOB reads with garbage,
-        # and garbage*0 = NaN would contaminate the PV matmul
-        if masked and seq_k % block_k != 0:
-            v_rows = ki * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_k, 1), 0
-            )
-            v = jnp.where(v_rows < seq_k, v, jnp.zeros_like(v))
-
-        # QK^T on the MXU.  bf16/f32 inputs accumulate in f32; int8 inputs
-        # (the quantized-QK path: normalized Q/K at the fixed scale 127)
-        # take the int8 MXU path — 2x bf16 throughput on v5e — and the
-        # 1/127^2 dequant folds into the compile-time logit scale below.
-        if q.dtype == jnp.int8:
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-        else:
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )  # (block_q, block_k)
-
-        # bounded logits -> direct exp, no running max.  Computed as exp2
-        # with the log2(e) factor pre-folded into the (compile-time) scale:
-        # the VPU's transcendental unit is base-2, so jnp.exp(x) lowers to
-        # exp2(x * log2e) — pre-scaling saves one VPU multiply per element
-        # on the hottest tensor in the kernel.  The reference's ``- scale``
-        # shift (cu:1216) is DROPPED entirely: a constant factor on every
-        # exp-weight cancels in O = acc / rowsum (possible only because
-        # there is no running row-max), and the backward recomputes P with
-        # the same convention.
-        log2e = 1.4426950408889634
-        logits2 = s * (scale * log2e * s_dequant)
-        if has_bias:
-            logits2 = logits2 + bias_ref[0].astype(jnp.float32) * log2e
-        e = jnp.exp2(logits2)
-
-        keep = None
-        if masked:
-            # fused masking: bounds + causal -> zero weight
-            row_g = qi * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            col_g = ki * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            keep = (row_g < seq_q) & (col_g < seq_k)
-            if causal:
-                keep &= col_g <= (row_g + seq_len_diff)
-        if has_mask:
-            km = mask_ref[0] > 0  # (1, block_k) broadcasts over rows
-            keep = km if keep is None else keep & km
-        if keep is not None:
-            e = jnp.where(keep, e, 0.0)
-
-        # NOTE: folding the row-sum into the PV matmul via a ones-column
-        # on V (rowsum as an extra MXU output lane) was measured ~5%
-        # SLOWER on v5e — the per-tile concat copy of the V block costs
-        # more than the saved lane-reduction.  Keeping the VPU reduce.
-        lsum_ref[...] += jnp.sum(e, axis=-1, keepdims=True)
-        acc_ref[...] += jax.lax.dot_general(
-            e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-
-    # Interior fast path: tiles fully in bounds and fully below the causal
-    # diagonal skip the bounds/causal epilogue — the per-element iota/
-    # compare/where chain is pure VPU cost on a tile the MXU already
-    # finished, and for long sequences interior tiles are the vast
-    # majority.  The dynamic key mask (if any) still applies on the fast
-    # path, but costs one compare+where instead of five ops.
-    interior = ((qi + 1) * block_q <= seq_q) & ((ki + 1) * block_k <= seq_k)
-    if causal:
-        # whole tile attendable: the tile's last column is visible to its
-        # FIRST query row
-        interior &= (ki + 1) * block_k - 1 <= qi * block_q + seq_len_diff
-
-    if seq_q % block_q == 0 and seq_k % block_k == 0 and not causal:
-        # statically known: every tile is in bounds
-        @pl.when(run)
-        def _compute():
-            _tile(masked=False)
-    else:
-        @pl.when(run & interior)
-        def _fast():
-            _tile(masked=False)
-
-        @pl.when(run & jnp.logical_not(interior))
-        def _slow():
-            _tile(masked=True)
-
-    @pl.when(ki == nk - 1)
-    def _finalize():
-        inv_l = 1.0 / jnp.maximum(lsum_ref[...], EPS)  # (block_q, 1)
-        o_ref[0, 0] = (acc_ref[...] * inv_l).astype(out_dtype)
-        l_ref[0, 0] = inv_l
-
-
 def flash_attention_forward(
     q: jax.Array,                 # (b, h, i, d)
     k: jax.Array,                 # (b, kvh, j, d), kvh in {h, 1}
@@ -448,118 +331,13 @@ def flash_attention_forward(
     assert h % kvh == 0, (h, kvh)  # 1 (MQA) ... h (MHA), anything between (GQA)
     q_per_kv = h // kvh
 
-    if bias is None:
-        # hot path: the transposed kernel (full-rate PV on the MXU).  The
-        # bias path keeps the row-major kernel — a (b|h, i, j) bias would
-        # need a j-major relayout costing a full HBM round-trip of the
-        # largest tensor in the problem.
-        return _forward_transposed(
-            q, k, v, mask, scale=scale, causal=causal, block_q=block_q,
-            block_k=block_k, interpret=interpret, s_dequant=s_dequant,
-        )
-
-    bq_d, bk_d = pick_block_sizes(q.dtype, d, seq_q, seq_k)
-    block_q = block_q or bq_d
-    block_k = block_k or bk_d
-    nq = pl.cdiv(seq_q, block_q)
-    nk = pl.cdiv(seq_k, block_k)
-
-    kv_head = (lambda hi: hi) if kvh == h else (lambda hi: hi // q_per_kv)
-
-    # Causal DMA elision: tiles strictly above the diagonal are compute-
-    # skipped (pl.when in the kernel), but their K/V blocks would still be
-    # DMA'd.  Clamping the block index at the last needed K block makes the
-    # index map return the SAME block for every skipped step, and the Pallas
-    # pipeline skips re-fetching an unchanged block — so skipped tiles cost
-    # neither FLOPs nor HBM bandwidth (the TPU analogue of the CUDA early
-    # exit at cu:1178 also saving its gmem reads).
-    if causal:
-        seq_len_diff = seq_k - seq_q
-
-        def clamp_k(qi, ki):
-            last_k = jnp.clip(
-                (qi * block_q + block_q - 1 + seq_len_diff) // block_k,
-                0, nk - 1,
-            )
-            return jnp.minimum(ki, last_k)
-    else:
-        clamp_k = lambda qi, ki: ki
-
-    in_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-        pl.BlockSpec(
-            (1, 1, block_k, d),
-            lambda bi, hi, qi, ki: (bi, kv_head(hi), clamp_k(qi, ki), 0),
-        ),
-        pl.BlockSpec(
-            (1, 1, block_k, d),
-            lambda bi, hi, qi, ki: (bi, kv_head(hi), clamp_k(qi, ki), 0),
-        ),
-    ]
-    args = [q, k, v]
-
-    has_mask = mask is not None
-    has_bias = bias is not None
-    if has_mask:
-        # (b, j) bool -> (b, 1, j) f32 for clean TPU tiling
-        args.append(mask.astype(jnp.float32)[:, None, :])
-        in_specs.append(
-            pl.BlockSpec((1, 1, block_k),
-                         lambda bi, hi, qi, ki: (bi, 0, clamp_k(qi, ki)))
-        )
-    if has_bias:
-        args.append(bias)
-        if bias_batch_dim:
-            bias_idx = lambda bi, hi, qi, ki: (bi, qi, clamp_k(qi, ki))
-        else:
-            bias_idx = lambda bi, hi, qi, ki: (hi, qi, clamp_k(qi, ki))
-        in_specs.append(pl.BlockSpec((1, block_q, block_k), bias_idx))
-
-    kernel = functools.partial(
-        _fwd_kernel,
-        scale=float(scale),
-        causal=causal,
-        seq_q=seq_q,
-        seq_k=seq_k,
-        block_q=block_q,
-        block_k=block_k,
-        has_mask=has_mask,
-        has_bias=has_bias,
-        out_dtype=(v.dtype if q.dtype == jnp.int8 else q.dtype),
-        # f32 inputs get full-precision MXU passes (the TPU default quietly
-        # decomposes f32 matmuls into bf16 passes, ~1e-2 error); bf16 inputs
-        # use the native bf16 MXU path with f32 accumulation
-        precision=(jax.lax.Precision.HIGHEST
-                   if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT),
-        s_dequant=float(s_dequant),
+    # the transposed kernel (full-rate PV on the MXU) is the only path:
+    # a (b|h, i, j) bias rides along as its one-time j-major relayout
+    # (see _forward_transposed), measured cheaper than forfeiting the
+    # transposed kernels' MXU orientation win
+    biasT = bias.swapaxes(-1, -2) if bias is not None else None
+    return _forward_transposed(
+        q, k, v, mask, biasT, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, interpret=interpret, s_dequant=s_dequant,
+        bias_batch_dim=bias_batch_dim,
     )
-
-    # inv rowsums carried as (b, h, seq, 1): a trailing singleton keeps the
-    # block's last-two dims Mosaic-legal ((block_q, 1) = divisible-by-8 x
-    # equal-to-array) where a (1, 1, block_q) block would not be
-    out_shape = [
-        jax.ShapeDtypeStruct((b, h, seq_q, d),
-                             v.dtype if q.dtype == jnp.int8 else q.dtype),
-        jax.ShapeDtypeStruct((b, h, seq_q, 1), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-        pl.BlockSpec((1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-    ]
-
-    o, inv_l = pl.pallas_call(
-        kernel,
-        grid=(b, h, nq, nk),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*args)
-    return o, inv_l

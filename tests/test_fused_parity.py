@@ -17,10 +17,10 @@ from flash_cosine_sim_attention_tpu import (
 
 def atol_for(dtype):
     # f16 computes through the bf16 MXU path (API casts in/out), so it
-    # shares the bf16 tolerance; the reference's own f16 atol is 1e-1
+    # shares the bf16 tolerance; 1e-1 matches the reference's own f16 atol
     # (tests/test.py:12-18)
     if dtype in (jnp.bfloat16, jnp.float16):
-        return 1.5e-1
+        return 1e-1
     return 1e-4
 
 
@@ -72,14 +72,14 @@ def check(q, k, v, mask, bias, *, causal, bbd, groups=1, grads=True,
 
 # --- the reference's main grid (tests/test.py:31-37) ---
 #
-# Grid counts (VERDICT r1 item 6): the 36-case feature cross-product
-# (3 causal/mask x 3 bias/bbd x 2 seq x 2 single-head-kv) runs in BOTH
-# f32 and bf16 (72 cases); float16 rides the bf16 compute path via API
-# casts and is covered by an 8-case representative slice plus the head-dim
-# sweep in all three dtypes (15 cases).  The reference sweeps 768 f16+f32
-# cases of the same features (tests/test.py:31-37).
+# Grid counts (r1 VERDICT item 6, r2 item 9): the 36-case feature
+# cross-product (3 causal/mask x 3 bias/bbd x 2 seq x 2 single-head-kv)
+# runs in ALL THREE dtypes — f32, bf16, and f16 (108 cases; f16 rides the
+# bf16 compute path via API casts) — at the reference's own f16 atol of
+# 1e-1 (tests/test.py:12-18).  The reference sweeps 768 f16+f32 cases of
+# the same features (tests/test.py:31-37).
 
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.float16])
 @pytest.mark.parametrize("causal,use_mask", [(True, False), (False, True),
                                              (False, False)])
 @pytest.mark.parametrize("use_bias,bbd", [(False, False), (True, False),
@@ -92,26 +92,6 @@ def test_feature_grid(causal, use_mask, use_bias, bbd, seq, single_head_kv,
     q, k, v, mask, bias = make_inputs(
         rng, 2, 4, 1 if single_head_kv else 4, seq, seq, 64,
         use_mask, use_bias, bbd, dtype)
-    check(q, k, v, mask, bias, causal=causal, bbd=bbd)
-
-
-@pytest.mark.parametrize("causal,use_mask,use_bias,bbd,seq,single_head_kv", [
-    # representative f16 slice of the grid above (f16 == bf16 compute)
-    (True, False, False, False, 63, False),
-    (True, False, True, False, 127, False),
-    (True, False, True, True, 63, True),
-    (False, True, False, False, 127, False),
-    (False, True, True, True, 127, True),
-    (False, False, True, False, 63, False),
-    (False, False, False, False, 127, True),
-    (False, False, True, True, 127, False),
-])
-def test_feature_grid_f16(causal, use_mask, use_bias, bbd, seq,
-                          single_head_kv):
-    rng = np.random.default_rng(0)
-    q, k, v, mask, bias = make_inputs(
-        rng, 2, 4, 1 if single_head_kv else 4, seq, seq, 64,
-        use_mask, use_bias, bbd, jnp.float16)
     check(q, k, v, mask, bias, causal=causal, bbd=bbd)
 
 
