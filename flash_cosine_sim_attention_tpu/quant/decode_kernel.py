@@ -134,6 +134,111 @@ def _decode_kernel(
         o_ref[0] = out.reshape(kv_heads, group, out.shape[-1])
 
 
+def _decode_kernel_packed(
+    *refs,
+    # len_ref   SMEM (b,) int32 (scalar-prefetched slot lengths)
+    # qc_ref    (1, kvh, tpr*g, 128) bf16 — block-diagonal packed queries
+    # kp_ref    (1, kvh, rpc, 128) int8 — packed K rows (tpr tokens/row)
+    # vp_ref    (1, kvh, rpc, 128) int8 — packed V rows
+    # vs_ref    (1, kvh, tpr, ck/tpr) f32 — parity-split V scales
+    # o_ref     (1, kvh, g, d) f32
+    # acc/lsum  scratch (kvh*g, d) / (kvh*g, 1) f32
+    scale: float,
+    k_dequant_scale: float,
+    has_vscale: bool,
+    chunk_k: int,
+    kv_heads: int,
+    group: int,
+    tpr: int,          # tokens per 128-lane row (128 // d)
+    d: int,
+):
+    """Lane-packed int8 decode tile (long-context path).
+
+    The natural (cap, d) int8 cache layout lane-pads d=64 -> 128 inside
+    VMEM blocks (int8 tiling is (32, 128)), wasting half of every DMA and
+    every VMEM byte; at d=32 it's 4x.  This kernel instead views the
+    cache as full (128,)-lane rows holding ``tpr`` consecutive tokens
+    each, so blocks stream at full density, and recovers per-token
+    semantics on the MXU:
+
+      * QK: ONE dot of the block-diagonal query stack ``qcat``
+        ((tpr*g, 128), parity p's query occupying lanes p*d:(p+1)*d)
+        against packed-K rows — row block p of the output is parity p's
+        scores.  Bonus: the contraction is 128 deep (full MXU rate; the
+        unpacked kernel ran d=64 at half fill).
+      * PV: ONE dot of the masked exp weights against packed-V rows
+        ((tpr*g, 128) out); parity p keeps lanes p*d:(p+1)*d of row
+        block p, the rest is discarded (decode is bandwidth-bound —
+        the extra MXU work is free).
+      * V's per-token scale arrives parity-split as (tpr, ck/tpr) (a
+        tiny per-call XLA relayout of the (cap, 1) scales).
+    """
+    idx = 0
+    len_ref = refs[idx]; idx += 1
+    qc_ref = refs[idx]; idx += 1
+    kp_ref = refs[idx]; idx += 1
+    vp_ref = refs[idx]; idx += 1
+    vs_ref = None
+    if has_vscale:
+        vs_ref = refs[idx]; idx += 1
+    o_ref, acc_ref, lsum_ref = refs[idx : idx + 3]
+
+    ki = pl.program_id(1)
+    nk = pl.num_programs(1)
+    length = len_ref[pl.program_id(0)]
+    cols = chunk_k // tpr          # packed columns per chunk
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        lsum_ref[...] = jnp.zeros_like(lsum_ref)
+
+    @pl.when(ki * chunk_k < length)
+    def _compute():
+        # token id of packed column c, parity p: ki*chunk_k + c*tpr + p
+        base = ki * chunk_k + jax.lax.broadcasted_iota(
+            jnp.int32, (tpr, 1, cols), 2) * tpr + jax.lax.broadcasted_iota(
+            jnp.int32, (tpr, 1, cols), 0)
+        keep = (base < length)                       # (tpr, 1, cols)
+        keep = jnp.broadcast_to(keep, (tpr, group, cols)).reshape(
+            tpr * group, cols)
+        for h in range(kv_heads):
+            qc = qc_ref[0, h]                        # (tpr*g, 128) bf16
+            kp = kp_ref[0, h]                        # (rpc, 128) int8
+            vp = vp_ref[0, h]
+            s = jax.lax.dot_general(
+                qc, kp.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (tpr*g, cols)
+            e = jnp.exp(s * (scale * k_dequant_scale) - scale)
+            e = jnp.where(keep, e, 0.0)
+            # parity p's rowsum lives in row block p; a query's total is
+            # the sum over its tpr parity rows
+            ls = jnp.sum(e, axis=-1, keepdims=True)  # (tpr*g, 1)
+            ls = ls.reshape(tpr, group, 1).sum(axis=0)
+            r = slice(h * group, (h + 1) * group)
+            lsum_ref[r, :] += ls
+            if has_vscale:
+                vs = vs_ref[0, h][:, None, :]        # (tpr, 1, cols)
+                vs = jnp.broadcast_to(
+                    vs, (tpr, group, cols)).reshape(tpr * group, cols)
+                e = e * vs
+            pv = jax.lax.dot_general(
+                e.astype(jnp.bfloat16), vp.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (tpr*g, 128)
+            upd = pv[0:group, 0:d]
+            for p in range(1, tpr):
+                upd = upd + pv[p * group:(p + 1) * group,
+                               p * d:(p + 1) * d]
+            acc_ref[r, :] += upd
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        inv_l = 1.0 / jnp.maximum(lsum_ref[...], EPS)
+        out = acc_ref[...] * inv_l
+        o_ref[0] = out.reshape(kv_heads, group, out.shape[-1])
+
+
 def _xla_decode(q, cache: QuantKVCache, scale: float):
     """XLA-fused decode: int8/fp8 K/V stream from HBM and upcast inside
     the fused matmul loop.
@@ -156,6 +261,90 @@ def _xla_decode(q, cache: QuantKVCache, scale: float):
                    cache.v8.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
     return o / jnp.maximum(lsum, EPS)
+
+
+def _kernel_decode_packed(q, cache: QuantKVCache, scale: float,
+                          block_k: int, interpret: bool):
+    """Launch the lane-packed decode kernel (int8, d dividing 128)."""
+    b, h, d = q.shape
+    kvh = cache.k8.shape[1]
+    g = h // kvh
+    cap = cache.capacity
+    tpr = 128 // d
+
+    # tokens per grid step; keep the double-buffered K+V windows ~2MB each
+    bytes_per_tok = kvh * d * cache.k8.dtype.itemsize
+    block_k = min(block_k, cap, max(128, (2 << 20) // bytes_per_tok))
+    while cap % block_k:
+        block_k //= 2
+    block_k = max(block_k, tpr)
+    nk = cap // block_k
+    rpc = block_k * d // 128       # packed rows per chunk
+    cols = block_k // tpr          # packed columns per chunk
+
+    # full-lane row views of the caches (free reshapes of the row-major
+    # (cap, d) layout: tpr consecutive tokens per 128-lane row)
+    kp = cache.k8.reshape(b, kvh, cap * d // 128, 128)
+    vp = cache.v8.reshape(b, kvh, cap * d // 128, 128)
+
+    # block-diagonal query stack: parity p's query in row block p, lanes
+    # p*d:(p+1)*d (tiny; built per call in XLA)
+    qg = q.reshape(b, kvh, g, d).astype(jnp.bfloat16)
+    qc = jnp.zeros((b, kvh, tpr, g, 128), jnp.bfloat16)
+    for p in range(tpr):
+        qc = qc.at[:, :, p, :, p * d:(p + 1) * d].set(qg)
+    qc = qc.reshape(b, kvh, tpr * g, 128)
+
+    def clamp(ki, lens, bi):
+        last = jnp.maximum(pl.cdiv(lens[bi], block_k) - 1, 0)
+        return jnp.minimum(ki, last)
+
+    in_specs = [
+        pl.BlockSpec((1, kvh, tpr * g, 128),
+                     lambda bi, ki, lens: (bi, 0, 0, 0)),
+        pl.BlockSpec((1, kvh, rpc, 128),
+                     lambda bi, ki, lens: (bi, 0, clamp(ki, lens, bi), 0)),
+        pl.BlockSpec((1, kvh, rpc, 128),
+                     lambda bi, ki, lens: (bi, 0, clamp(ki, lens, bi), 0)),
+    ]
+    args = [qc, kp, vp]
+    has_vscale = not cache.is_fp8
+    if has_vscale:
+        # parity-split V scales: (cap, 1) -> (tpr, cap/tpr) per head (a
+        # tiny XLA relayout, ~d-fold smaller than the cache stream)
+        vs = cache.v_scale[..., 0].reshape(
+            b, kvh, cap // tpr, tpr).swapaxes(-1, -2)
+        args.append(vs)
+        in_specs.append(
+            pl.BlockSpec((1, kvh, tpr, cols),
+                         lambda bi, ki, lens: (bi, 0, 0,
+                                               clamp(ki, lens, bi))))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, kvh, g, d),
+                               lambda bi, ki, lens: (bi, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((kvh * g, d), jnp.float32),
+            pltpu.VMEM((kvh * g, 1), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel_packed, scale=float(scale),
+            k_dequant_scale=cache.k_dequant_scale,
+            has_vscale=has_vscale, chunk_k=block_k, kv_heads=kvh,
+            group=g, tpr=tpr, d=d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(cache.length, jnp.int32), *args)
+    return out
 
 
 def quantized_decode_attention(
@@ -193,18 +382,22 @@ def quantized_decode_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if use_kernel is None:
-        # v5e measurements: the kernel wins while the cache is <= 4
-        # blocks deep (0.048 vs 0.090 @d128/ctx2k, 0.099 vs 0.116
-        # @d64/ctx8k) and loses beyond (0.357 vs 0.227 @16k, 0.709 vs
-        # 0.423 @32k — per-step cost jumps once the per-head HBM stride
-        # grows past the 2MB block budget), so auto-pick by depth; fp8
-        # always takes the einsum (Mosaic's e4m3 upcast is pathological)
-        bytes_per_tok = kvh * d * cache.k8.dtype.itemsize
-        eff_bk = min(block_k, cap, max(128, (2 << 20) // bytes_per_tok))
-        use_kernel = (not cache.is_fp8) and cap <= 4 * eff_bk
+        # fp8 always takes the einsum (Mosaic's e4m3 upcast is
+        # pathological); int8 takes a Pallas kernel everywhere
+        use_kernel = not cache.is_fp8
 
     if not use_kernel:
         out = _xla_decode(q.reshape(b, kvh, g, d), cache, float(scale))
+        out = out.reshape(b, h, d).astype(q.dtype)
+        return out[:, :, None, :] if squeeze else out
+
+    if 128 % d == 0 and (cap * d) % 128 == 0:
+        # lane-packed kernel: full-density DMAs (the natural (cap, d)
+        # int8 layout lane-pads d<128 blocks, which made the unpacked
+        # kernel LOSE to the einsum past 4 blocks: 0.357 vs 0.227 ms
+        # @16k d64) and a 128-deep QK contraction
+        out = _kernel_decode_packed(q, cache, float(scale), block_k,
+                                    interpret)
         out = out.reshape(b, h, d).astype(q.dtype)
         return out[:, :, None, :] if squeeze else out
 
