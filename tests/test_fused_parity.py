@@ -226,6 +226,18 @@ def test_qk_int8_forward(causal):
     assert rel < 0.1, rel
 
 
+@pytest.mark.parametrize("bbd", [False, True])
+@pytest.mark.parametrize("causal", [False, True])
+def test_gqa_bias(causal, bbd):
+    # grouped-query KV (1 < kvh < h) through the BIASED transposed
+    # kernels: exercises the dB-fold grid's kv-head mapping, which the
+    # main grid (kvh in {1, h}) does not
+    rng = np.random.default_rng(7)
+    q, k, v, mask, bias = make_inputs(
+        rng, 2, 4, 2, 127, 127, 64, False, True, bbd, jnp.float32)
+    check(q, k, v, mask, bias, causal=causal, bbd=bbd)
+
+
 def test_grouped_l2norm():
     rng = np.random.default_rng(4)
     q, k, v, mask, bias = make_inputs(
