@@ -31,12 +31,43 @@ import jax.numpy as jnp
 from .blocks import ALLOWED_DIM_HEADS
 from .bwd_kernel import flash_attention_backward
 from .fwd_kernel import flash_attention_forward
-from .reference import canonicalize_qkv, l2norm_tensors
+from .reference import (
+    canonicalize_qkv,
+    l2norm_tensors,
+    plain_cosine_sim_attention,
+)
 
 
 def _use_interpret() -> bool:
     """Pallas interpret mode everywhere but real TPUs (CPU CI, dry runs)."""
     return jax.default_backend() != "tpu"
+
+
+def _plain_max_seq() -> int:
+    """Below this sequence length the fused kernels lose to the plain XLA
+    einsum path (per-grid-step overhead dominates while the materialized
+    logits are tiny); measured on v5e the fused path is 2-7x slower at seq
+    128-512 and wins from ~1024 up.  Overridable via FCSA_PLAIN_MAX_SEQ
+    (0 disables the fallback entirely)."""
+    import os
+
+    return int(os.environ.get("FCSA_PLAIN_MAX_SEQ", "512"))
+
+
+def _should_use_plain(seq_q: int, seq_k: int, interpret, qk_quant,
+                      block_q, block_k) -> bool:
+    """Auto-fallback decision (trace-time static, shapes are static under
+    jit).  Only fires in the default configuration on a real TPU: any
+    explicit interpret / block-size / quantized-QK request pins the
+    kernels (that is also the escape hatch for on-TPU kernel tests)."""
+    if interpret is not None or qk_quant is not None:
+        return False
+    if block_q is not None or block_k is not None:
+        return False
+    if _use_interpret():  # CPU CI exercises the kernels, never falls back
+        return False
+    limit = _plain_max_seq()
+    return max(seq_q, seq_k) <= limit
 
 
 @functools.lru_cache(maxsize=None)
@@ -155,6 +186,21 @@ def flash_cosine_sim_attention(
     assert not (causal and mask is not None), (
         "mask should not be supplied if causality is needed"
     )
+    assert not (qk_int8 and qk_fp8)
+    qk_quant = "int8" if qk_int8 else ("fp8" if qk_fp8 else None)
+
+    # short sequences: delegate to the plain einsum path (numerically the
+    # ground truth, differentiable, every flag supported) — the fused
+    # kernels' per-grid-step overhead loses below the crossover (the
+    # reference documents the same memory/speed crossover at seq 2048,
+    # README.md:19); see _should_use_plain for the exact conditions
+    if _should_use_plain(q.shape[-2], k.shape[-2], interpret, qk_quant,
+                         block_q, block_k):
+        return plain_cosine_sim_attention(
+            q, k, v, mask=mask, attn_bias=attn_bias, scale=scale,
+            groups=groups, causal=causal, l2norm_qk=l2norm_qk,
+            attn_bias_batch_dim=attn_bias_batch_dim)
+
     # the reference restricts dim_head to {16,32,64,96,128} (cu:1673-1675);
     # the TPU kernels are tuned for those but accept any multiple of 8
     # (Mosaic's lane-tiling requirement) — reject the rest with a clear
@@ -187,8 +233,6 @@ def flash_cosine_sim_attention(
     if interpret is None:
         interpret = _use_interpret()
 
-    assert not (qk_int8 and qk_fp8)
-    qk_quant = "int8" if qk_int8 else ("fp8" if qk_fp8 else None)
     fused = _make_fused(
         float(scale), bool(causal), bool(bias_batch_dim),
         block_q, block_k, bool(interpret), qk_quant,

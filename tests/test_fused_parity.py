@@ -238,6 +238,51 @@ def test_gqa_bias(causal, bbd):
     check(q, k, v, mask, bias, causal=causal, bbd=bbd)
 
 
+def test_small_seq_fallback_decision(monkeypatch):
+    # the auto-fallback to the plain path must (a) never fire on the CPU
+    # backend (CI exercises the kernels), (b) fire on TPU only in the
+    # default configuration below the crossover, (c) honor every pin
+    from flash_cosine_sim_attention_tpu.ops import flash_attention as fa
+
+    # on this CPU backend _use_interpret() is True -> never fall back
+    assert not fa._should_use_plain(256, 256, None, None, None, None)
+
+    # simulate a real TPU backend
+    monkeypatch.setattr(fa, "_use_interpret", lambda: False)
+    assert fa._should_use_plain(256, 256, None, None, None, None)
+    assert fa._should_use_plain(512, 512, None, None, None, None)
+    assert not fa._should_use_plain(1024, 1024, None, None, None, None)
+    assert not fa._should_use_plain(256, 1024, None, None, None, None)
+    # pins: explicit interpret / quant / block sizes keep the kernels
+    assert not fa._should_use_plain(256, 256, False, None, None, None)
+    assert not fa._should_use_plain(256, 256, None, "int8", None, None)
+    assert not fa._should_use_plain(256, 256, None, None, 128, None)
+    # env override
+    monkeypatch.setenv("FCSA_PLAIN_MAX_SEQ", "0")
+    assert not fa._should_use_plain(256, 256, None, None, None, None)
+    monkeypatch.setenv("FCSA_PLAIN_MAX_SEQ", "4096")
+    assert fa._should_use_plain(2048, 4096, None, None, None, None)
+
+
+def test_small_seq_fallback_delegates(monkeypatch):
+    # with the fallback forced on, the wrapper must return exactly the
+    # plain path's output (and gradients flow natively)
+    from flash_cosine_sim_attention_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_use_interpret", lambda: False)
+    rng = np.random.default_rng(11)
+    q, k, v, mask, bias = make_inputs(
+        rng, 2, 4, 4, 120, 120, 64, True, True, False, jnp.float32)
+    out = flash_cosine_sim_attention(
+        q, k, v, mask=mask, attn_bias=bias, causal=False)
+    ref = plain_cosine_sim_attention(
+        q, k, v, mask=mask, attn_bias=bias, causal=False)
+    assert float(jnp.abs(out - ref).max()) == 0.0
+    g = jax.grad(lambda q: jnp.sum(flash_cosine_sim_attention(
+        q, k, v, mask=mask, attn_bias=bias) ** 2))(q)
+    assert bool(jnp.isfinite(g).all())
+
+
 def test_grouped_l2norm():
     rng = np.random.default_rng(4)
     q, k, v, mask, bias = make_inputs(
