@@ -48,38 +48,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .blocks import pick_block_sizes, pick_bwd_blocks_t
+from .mxu import make_mm as _make_mm
 
 LOG2E = 1.4426950408889634
-
-
-def _dot_f32x3(a, b, dims):
-    """f32 matmul as THREE bf16 MXU passes (hi/lo split, lo*lo dropped).
-
-    ``Precision.HIGHEST`` lowers to a 6-pass decomposition on the TPU MXU
-    (~7% MFU measured in the r2 backward, the reason f32 backward LOST to
-    the XLA baseline); splitting each operand as ``x = hi + lo`` (bf16
-    each, together ~16 mantissa bits) and keeping the three significant
-    cross products reaches ~1e-5 relative error — inside the f32 parity
-    budget (1e-4) — at half the passes.  Mosaic rejects the built-in
-    intermediate tiers (``Precision.HIGH``/dot-algorithm presets) inside
-    kernels, so the split is done by hand.
-    """
-    a_hi = a.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    b_hi = b.astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    mm = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
-                          preferred_element_type=jnp.float32)
-    return mm(a_hi, b_hi) + (mm(a_hi, b_lo) + mm(a_lo, b_hi))
-
-
-def _make_mm(dtype):
-    """Tile-matmul dispatcher for the transposed kernels: f32 inputs get
-    the 3-pass bf16 split, bf16/f16 the native single-pass MXU path."""
-    if dtype == jnp.float32:
-        return _dot_f32x3
-    return lambda a, b, dims: jax.lax.dot_general(
-        a, b, dims, preferred_element_type=jnp.float32)
 
 
 def _dq_kernel_t(

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .blocks import EPS, pick_fwd_blocks_t
+from .mxu import make_mm as _make_mm
 
 LOG2E = 1.4426950408889634
 
@@ -54,7 +55,6 @@ def _fwd_kernel_t(
     has_mask: bool,
     has_bias: bool,
     out_dtype,
-    precision,
     s_dequant: float,
 ):
     """Transposed forward: s^T = K Q^T, O^T = V^T e^T.
@@ -136,10 +136,11 @@ def _fwd_kernel_t(
                         logits2 = logits2 + biasT_j * LOG2E
                     e = jnp.exp2(logits2)
                 else:
-                    sT = jax.lax.dot_general(
+                    # f32 inputs: 3-pass bf16 hi/lo split (see ops/mxu.py)
+                    # instead of HIGHEST's 6-pass lowering — same trick as
+                    # the backward, halves the f32 MXU work
+                    sT = _make_mm(kj.dtype)(
                         kj, qT, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=precision,
                     )                                          # (bki, block_q)
                     if has_bias:
                         sT = sT + biasT_j * LOG2E
@@ -177,9 +178,8 @@ def _fwd_kernel_t(
 
                 eb = e.astype(vT_ref.dtype)
                 lsum_ref[...] += jnp.sum(e, axis=0, keepdims=True)
-                acc_ref[...] += jax.lax.dot_general(
+                acc_ref[...] += _make_mm(vj.dtype)(
                     vj, eb, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=precision,
                 )                                              # (d, block_q)
 
             if causal:
@@ -272,8 +272,6 @@ def _forward_transposed(
         scale=float(scale), causal=causal, seq_q=seq_q, seq_k=seq_k,
         block_q=bq, bko=bko, bki=bki, has_mask=has_mask, has_bias=has_bias,
         out_dtype=out_dtype,
-        precision=(jax.lax.Precision.HIGHEST
-                   if q.dtype == jnp.float32 else jax.lax.Precision.DEFAULT),
         s_dequant=float(s_dequant),
     )
 

@@ -62,9 +62,12 @@ def _fill_cache(rng, b, kvh, cap, d, n_tokens, groups=1):
 @pytest.mark.parametrize("kvh,h", [(4, 4), (1, 8)])
 @pytest.mark.parametrize("n_tokens", [63, 256])
 @pytest.mark.parametrize("use_kernel", [False, True])
-def test_decode_kernel_vs_oracle(kvh, h, n_tokens, use_kernel):
+@pytest.mark.parametrize("d", [64, 32])
+def test_decode_kernel_vs_oracle(kvh, h, n_tokens, use_kernel, d):
+    """d=64 exercises the lane-packed kernel at tpr=2, d=32 at tpr=4
+    (four tokens per 128-lane row; distinct parity-recovery unroll)."""
     rng = np.random.default_rng(2)
-    b, d, cap = 2, 64, 256
+    b, cap = 2, 256
     cache, _, _ = _fill_cache(rng, b, kvh, cap, d, n_tokens)
     q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
     out = quantized_decode_attention(q, cache, block_k=128,

@@ -106,6 +106,8 @@ def main():
         "",
         f"Same seed ({args.seed}), same data stream, {args.steps} steps,",
         f"dim {args.dim} depth {args.depth} seq {args.seq_len} bf16,",
+        f"backend {jax.default_backend()} (fused arm runs the Pallas "
+        "kernels; interpret mode off-TPU, same math),",
         "reference recipe (Adam 2e-4, clip 0.5, grad-accum "
         f"{GRAD_ACCUM}x{args.batch_size}).",
         "",

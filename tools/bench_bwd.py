@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--no-causal", action="store_true")
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--sweep-kv", action="store_true",
+                    help="sweep the dKdV triple (dQ triple from --blocks)")
     ap.add_argument("--blocks", type=str, default=None,
                     help="bo,bko,bki triple to time (dQ kernel)")
     ap.add_argument("--blocks-kv", type=str, default=None,
@@ -74,15 +76,31 @@ def main():
             return jnp.sum(out.astype(jnp.float32))
         return _slope_ms(lambda n: run(n, q, o, inv_l, q, k, v), 20)
 
-    if args.sweep:
+    blocks = (tuple(int(x) for x in args.blocks.split(","))
+              if args.blocks else None)
+    blocks_kv = (tuple(int(x) for x in args.blocks_kv.split(","))
+                 if args.blocks_kv else None)
+
+    if args.sweep or args.sweep_kv:
+        # --sweep varies the dQ triple (timing the dq-only slice so the
+        # dKdV pass DCEs away); --sweep-kv varies the dKdV triple with
+        # the dQ triple pinned (timing all minus the pinned dq time)
         best = (None, 1e9)
-        for bo in (256, 512, 1024):
+        t_dq_pinned = timed(blocks, "dq", None) if args.sweep_kv else None
+        if t_dq_pinned is not None:
+            print(f"pinned dQ pass ({blocks}): {t_dq_pinned:.3f} ms",
+                  flush=True)
+        for bo in (256, 512, 1024, 2048):
             for bko in (1024, 2048, 4096):
-                for bki in (256, 512, 1024):
+                for bki in (256, 512, 1024, 2048):
                     if bki > bko or bko % bki or bo > args.n or bko > args.n:
                         continue
                     try:
-                        t = timed((bo, bko, bki))
+                        if args.sweep_kv:
+                            t = timed(blocks, "all", (bo, bko, bki)) \
+                                - t_dq_pinned
+                        else:
+                            t = timed((bo, bko, bki), "dq")
                     except Exception as e:
                         print(f"bo={bo} bko={bko} bki={bki}: FAIL "
                               f"{type(e).__name__}", flush=True)
@@ -93,11 +111,6 @@ def main():
                         best = ((bo, bko, bki), t)
         print("BEST", best)
         return
-
-    blocks = (tuple(int(x) for x in args.blocks.split(","))
-              if args.blocks else None)
-    blocks_kv = (tuple(int(x) for x in args.blocks_kv.split(","))
-                 if args.blocks_kv else None)
     t_all = timed(blocks, "all", blocks_kv)
     t_dq = timed(blocks, "dq", blocks_kv)
     print(f"shape {shape} {dtype.__name__} causal={causal} "
