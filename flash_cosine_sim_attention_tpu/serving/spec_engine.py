@@ -127,10 +127,15 @@ class SpeculativeEngine:
         {slot: [accepted tokens...]} (1..gamma tokens per slot)."""
         if not self.active.any():
             return {}
-        # every slot (active or not) takes a ride-along append of gamma
-        # rows at its current length: guard capacity for ALL of them
+        # active slots must fit a whole round: past capacity the
+        # ride-along append would CLAMP its write offset back over valid
+        # history.  Inactive slots also take the ride-along, but their
+        # (possibly clamped) writes only touch dead data — add_request
+        # fully overwrites a slot's caches on reuse — so a finished slot
+        # parked near capacity must NOT wedge the engine.
         over = [s for s in range(self.num_slots)
-                if self.host_pos[s] + self.gamma > self.capacity]
+                if self.active[s]
+                and self.host_pos[s] + self.gamma > self.capacity]
         if over:
             raise RuntimeError(
                 f"slots {over} would exceed capacity {self.capacity} "

@@ -137,7 +137,7 @@ def test_ring_attention_matches_local(causal):
                for _ in range(3))
     o_ring = ring_flash_cosine_sim_attention(q, k, v, mesh, causal=causal)
     o_local = flash_cosine_sim_attention(q, k, v, causal=causal)
-    assert float(jnp.abs(o_ring - o_local).max()) < 2e-5
+    assert float(jnp.abs(o_ring - o_local).max()) < 1e-4  # f32 parity budget (3-pass bf16 split, ops/mxu.py)
 
 
 def test_tp_serving_engine_matches_local():
@@ -222,7 +222,7 @@ def test_ring_attention_composed_with_tp():
 
     o_ring = ring(q, k, v)
     o_local = flash_cosine_sim_attention(q, k, v, causal=True)
-    assert float(jnp.abs(o_ring - o_local).max()) < 2e-5
+    assert float(jnp.abs(o_ring - o_local).max()) < 1e-4  # f32 parity budget (3-pass bf16 split, ops/mxu.py)
 
     g_ring = jax.grad(lambda q: jnp.sum(ring(q, k, v) ** 2))(q)
     g_local = jax.grad(lambda q: jnp.sum(flash_cosine_sim_attention(
@@ -290,7 +290,7 @@ def test_ring_attention_key_mask(causal):
 
     o_ring = ring(q, k, v)
     o_local = local(q, k, v)
-    assert float(jnp.abs(o_ring - o_local).max()) < 2e-5
+    assert float(jnp.abs(o_ring - o_local).max()) < 1e-4  # f32 parity budget (3-pass bf16 split, ops/mxu.py)
 
     g_ring = jax.grad(lambda *a: jnp.sum(ring(*a) ** 2),
                       argnums=(0, 1, 2))(q, k, v)
@@ -318,7 +318,7 @@ def test_ring_attention_gqa(kvh):
 
     o_ring = ring(q, k, v)
     o_local = flash_cosine_sim_attention(q, k, v, causal=True)
-    assert float(jnp.abs(o_ring - o_local).max()) < 2e-5
+    assert float(jnp.abs(o_ring - o_local).max()) < 1e-4  # f32 parity budget (3-pass bf16 split, ops/mxu.py)
     g_ring = jax.grad(lambda *a: jnp.sum(ring(*a) ** 2),
                       argnums=(0, 1, 2))(q, k, v)
     g_local = jax.grad(lambda *a: jnp.sum(flash_cosine_sim_attention(
@@ -413,7 +413,7 @@ def test_ring_attention_gqa_over_tp():
                     ("model", "seq"))
         o_ring = ring_flash_cosine_sim_attention(
             q, k, v, mesh, causal=True, model_axis="model")
-        assert float(jnp.abs(o_ring - o_local).max()) < 2e-5, tp
+        assert float(jnp.abs(o_ring - o_local).max()) < 1e-4, tp  # f32 parity budget (3-pass bf16 split, ops/mxu.py)
 
 
 def test_tp_serving_engine_gqa():

@@ -137,6 +137,17 @@ def test_batched_engine_capacity_guard(models):
         while True:
             eng.step_round()
 
+    # a slot parked near capacity but FINISHED must not wedge the engine:
+    # its ride-along writes touch only dead data (add_request re-prefills
+    # a reused slot from scratch).  Keep slot 0 parked-inactive by filling
+    # slot 1 and stepping with only IT active.
+    slot1, _ = eng.add_request(np.arange(10) % 64)
+    assert slot1 == 1  # slot 0 is still active (and at capacity)
+    eng.finish(0)
+    out = eng.step_round()  # must NOT raise for the parked slot 0
+    assert slot1 in out and len(out[slot1]) >= 1
+    assert 0 not in out
+
 
 def test_speculative_capacity_guard(models):
     target, tp, draft, dp = models
