@@ -50,10 +50,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.transformer import Attention, FeedForward
 
 
-def make_pipeline_mesh(n_devices: int, devices=None) -> Mesh:
-    """A 1-D ("pipe",) mesh; stages map onto an ICI ring."""
+def make_pipeline_mesh(n_devices: int, devices=None,
+                       pipeline_parallel: int | None = None) -> Mesh:
+    """A ("pipe",) mesh — or ("data", "pipe") when ``pipeline_parallel``
+    is given and smaller than ``n_devices``: each data-parallel replica
+    owns its own pipeline ring, and only the gradient all-reduce crosses
+    the data axis (put data on the outer/DCN axis on multi-host)."""
     devices = devices if devices is not None else jax.devices()[:n_devices]
-    return Mesh(np.array(devices), ("pipe",))
+    devices = np.array(devices)
+    if pipeline_parallel is None or pipeline_parallel == n_devices:
+        return Mesh(devices, ("pipe",))
+    assert n_devices % pipeline_parallel == 0, (n_devices, pipeline_parallel)
+    return Mesh(devices.reshape(-1, pipeline_parallel), ("data", "pipe"))
 
 
 def _layer_modules(model):
@@ -193,9 +201,26 @@ def make_pipeline_loss_fn(model, mesh: Mesh, n_micro: int):
         # (1,): shard_map outputs need a concatenatable leading axis
         return (loss_sum / n_micro)[None]
 
+    has_data = "data" in mesh.axis_names
+
     def loss_fn(stacked, aux, tokens):
         b = tokens.shape[0]
-        assert b % n_micro == 0, (b, n_micro)
+        d_sz = mesh.shape["data"] if has_data else 1
+        assert b % (n_micro * d_sz) == 0, (b, n_micro, d_sz)
+        if has_data:
+            # each data replica pipelines its own batch shard over its
+            # own pipe ring; only the grad all-reduce crosses "data"
+            # (P("pipe") replicates over the unmentioned "data" axis)
+            per_dev = shard_map(
+                lambda s, a, t: pipeline_local(s, a, t)[None],
+                mesh=mesh,
+                in_specs=(P("pipe"), P(), P("data")),
+                out_specs=P("data", "pipe"),
+                check_vma=False,
+            )(stacked, aux, tokens)
+            # pipe: every stage but the last contributed 0; data: mean
+            # of per-shard batch means == the global batch mean
+            return jnp.mean(jnp.sum(per_dev, axis=1))
         per_dev = shard_map(
             pipeline_local, mesh=mesh,
             in_specs=(P("pipe"), P(), P()),

@@ -111,6 +111,24 @@ def test_pipeline_train_step_sharded():
     assert np.isfinite(float(l2))
 
 
+def test_pipeline_composes_with_data_parallel():
+    """(data=2, pipe=4) 2-D mesh: each replica pipelines its own batch
+    shard; loss (and therefore grads) still equal the plain model."""
+    model = _build()
+    rng = jax.random.PRNGKey(4)
+    tokens = _data(rng, b=8)
+    params = model.init(rng, tokens, return_loss=True)
+    loss_plain = model.apply(params, tokens, return_loss=True)
+
+    mesh = make_pipeline_mesh(8, pipeline_parallel=4)
+    assert mesh.shape == {"data": 2, "pipe": 4}
+    stacked, aux = split_pipeline_params(model, params, 4)
+    loss_fn = make_pipeline_loss_fn(model, mesh, n_micro=2)
+    loss_pipe = loss_fn(stacked, aux, tokens)
+    # microbatch/shard means reassociate the reduction: allow rounding
+    assert abs(float(loss_pipe) - float(loss_plain)) < 5e-6
+
+
 def test_pipeline_with_fused_kernels():
     """The fused Pallas attention path composes with the pipeline."""
     model = _build(depth=2, use_fused=True)
