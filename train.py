@@ -100,6 +100,11 @@ def main():
                     help="shard over a (data, model) mesh (0 = single "
                          "device); heads/MLP shard over `model`, batch "
                          "over `data`")
+    ap.add_argument("--pipeline-parallel", type=int, default=0,
+                    help="GPipe pipeline over a (data, pipe) mesh: depth "
+                         "splits into this many stages, the GRAD_ACCUM "
+                         "microbatches become the pipeline schedule "
+                         "(exclusive with --model-parallel/multi-host)")
     ap.add_argument("--coordinator", type=str, default="",
                     help="multi-host: coordinator address host:port "
                          "(empty = auto-detect on TPU pods)")
@@ -176,6 +181,35 @@ def main():
     )
     opt_state = tx.init(params)
 
+    pp = args.pipeline_parallel
+    if pp > 1:
+        # GPipe pipeline mode: the param tree becomes (stacked_layers,
+        # aux); GRAD_ACCUM microbatches drive the pipeline schedule, so
+        # one train_step call keeps the reference's grad-accum semantics
+        # (mean loss / mean grads over GRAD_ACCUM microbatches)
+        assert mesh is None and not distributed, (
+            "--pipeline-parallel is exclusive with --model-parallel / "
+            "multi-host in this driver")
+        from flash_cosine_sim_attention_tpu.parallel import (
+            make_pipeline_mesh,
+            make_pipeline_train_step,
+            merge_pipeline_params,
+            shard_pipeline_params,
+            split_pipeline_params,
+        )
+
+        n_dev = len(jax.devices())
+        n_dev -= n_dev % pp
+        pipe_mesh = make_pipeline_mesh(n_dev, pipeline_parallel=pp)
+        data_sz = n_dev // pp
+        assert args.batch_size % max(data_sz, 1) == 0, (
+            args.batch_size, data_sz)
+        print(f"pipeline mesh: data={data_sz} pipe={pp} "
+              f"(n_micro={GRAD_ACCUM})")
+        params = shard_pipeline_params(
+            *split_pipeline_params(model, params, pp), pipe_mesh)
+        opt_state = tx.init(params)
+
     start_step = 0
     if args.checkpoint_dir:
         ck_step, params, opt_state = restore_checkpoint(
@@ -236,6 +270,20 @@ def main():
     def eval_step(params, batch):
         return model.apply(params, batch, return_loss=True)
 
+    if pp > 1:
+        # pipeline overrides: tokens stay a flat (GRAD_ACCUM*batch, L)
+        # block (the loss fn splits microbatches itself); eval/generate
+        # run the plain model on merged params
+        make_batches = lambda rows: jnp.asarray(rows).reshape(
+            GRAD_ACCUM * args.batch_size, args.seq_len + 1)
+        train_step = make_pipeline_train_step(
+            model, tx, pipe_mesh, n_micro=GRAD_ACCUM)
+        _plain_eval = eval_step
+
+        def eval_step(pparams, batch):  # noqa: F811
+            merged = merge_pipeline_params(model, *pparams)
+            return _plain_eval(merged, batch)
+
     t_start = time.time()
     train_stream = sampler.stream(
         "train", GRAD_ACCUM * local_bs, args.seq_len)
@@ -274,7 +322,9 @@ def main():
             prime = jnp.asarray(
                 sampler.sample("valid", 1, args.seq_len))[:, :128]
             rng, sub = jax.random.split(rng)
-            out = generate(model, params, sub, prime, GENERATE_LENGTH)
+            gen_params = (merge_pipeline_params(model, *params)
+                          if pp > 1 else params)
+            out = generate(model, gen_params, sub, prime, GENERATE_LENGTH)
             print("prime:", decode_bytes(np.asarray(prime)[0][-64:]))
             print("generated:", decode_bytes(np.asarray(out)[0][:256]),
                   flush=True)
