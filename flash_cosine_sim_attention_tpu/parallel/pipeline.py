@@ -123,12 +123,16 @@ def merge_pipeline_params(model, stacked, aux):
     return {"params": out}
 
 
-def make_pipeline_loss_fn(model, mesh: Mesh, n_micro: int):
+def make_pipeline_loss_fn(model, mesh: Mesh, n_micro: int,
+                          remat: bool = False):
     """Returns ``loss_fn(stacked, aux, tokens)`` over tokens ``(b, n+1)``.
 
     The scalar equals ``model.apply(merged_params, tokens,
     return_loss=True)`` (GPipe is exact), computed through the pipelined
-    schedule over the ``pipe`` mesh axis.
+    schedule over the ``pipe`` mesh axis.  ``remat=True`` checkpoints
+    each layer, rematerializing its activations in the backward — the
+    standard trade at pipeline scale, where the GPipe backward holds
+    ``T = M + S - 1`` steps of residuals.
     """
     S = mesh.shape["pipe"]
     attn_mod, ff_mod = _layer_modules(model)
@@ -141,6 +145,8 @@ def make_pipeline_loss_fn(model, mesh: Mesh, n_micro: int):
                 + h * res_scale
             h = ff_mod.apply({"params": layer_p["ff"]}, h) + h * res_scale
             return h, None
+        if remat:
+            body = jax.checkpoint(body)
         h, _ = jax.lax.scan(body, h, stage_params)
         return h
 
@@ -244,10 +250,11 @@ def shard_pipeline_params(stacked, aux, mesh: Mesh):
     return stacked, aux
 
 
-def make_pipeline_train_step(model, tx, mesh: Mesh, n_micro: int):
+def make_pipeline_train_step(model, tx, mesh: Mesh, n_micro: int,
+                             remat: bool = False):
     """Jitted ``step((stacked, aux), opt_state, tokens) -> (params',
     opt_state', loss)`` with the layer stack sharded over ``pipe``."""
-    loss_fn = make_pipeline_loss_fn(model, mesh, n_micro)
+    loss_fn = make_pipeline_loss_fn(model, mesh, n_micro, remat=remat)
 
     @jax.jit
     def step(params, opt_state, tokens):

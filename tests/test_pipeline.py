@@ -53,7 +53,8 @@ def test_pipeline_loss_matches_plain(n_stages, n_micro):
     assert abs(float(loss_pipe) - float(loss_plain)) < 5e-6
 
 
-def test_pipeline_grads_match_plain():
+@pytest.mark.parametrize("remat", [False, True])
+def test_pipeline_grads_match_plain(remat):
     model = _build()
     rng = jax.random.PRNGKey(1)
     tokens = _data(rng)
@@ -64,7 +65,7 @@ def test_pipeline_grads_match_plain():
 
     mesh = make_pipeline_mesh(4)
     stacked, aux = split_pipeline_params(model, params, 4)
-    loss_fn = make_pipeline_loss_fn(model, mesh, n_micro=2)
+    loss_fn = make_pipeline_loss_fn(model, mesh, n_micro=2, remat=remat)
     gs, ga = jax.grad(lambda s, a: loss_fn(s, a, tokens),
                       argnums=(0, 1))(stacked, aux)
     g_pipe = merge_pipeline_params(model, gs, ga)
