@@ -31,6 +31,15 @@ benchmark_decode:
 benchmark_scaling:
 	python tools/bench_scaling.py
 
+benchmark_bias:
+	python tools/bench_bias.py
+
+benchmark_bwd:
+	python tools/bench_bwd.py
+
+benchmark_int8qk:
+	python tools/bench_int8qk.py
+
 benchmark_serving:
 	python tools/bench_serving.py
 
@@ -49,5 +58,6 @@ clean:
 
 .PHONY: install test native benchmark benchmark_causal benchmark_forwards \
         benchmark_backwards benchmark_masked benchmark_decode \
-        benchmark_scaling benchmark_serving benchmark_sweep bench train \
+        benchmark_scaling benchmark_serving benchmark_sweep \
+        benchmark_bias benchmark_bwd benchmark_int8qk bench train \
         clean
