@@ -1,3 +1,4 @@
+from .decoding import fuse_qkv_params
 from .speculative import (
     make_batched_speculative_decoder,
     make_speculative_decoder,
@@ -15,6 +16,7 @@ __all__ = [
     "Attention",
     "CosineSimCausalTransformer",
     "FeedForward",
+    "fuse_qkv_params",
     "generate",
     "make_batched_speculative_decoder",
     "make_speculative_decoder",

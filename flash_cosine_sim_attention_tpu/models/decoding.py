@@ -55,6 +55,43 @@ def _layernorm(p, x, eps=1e-6):
     return y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
+def fuse_qkv_params(params):
+    """Concatenate each attention layer's to_q/to_k/to_v kernels into one
+    ``to_qkv`` kernel (column-wise), so the M=1 decode regime issues ONE
+    weight-streaming matmul per layer instead of three.
+
+    The decode step is weight-bandwidth-bound at small batch; fusing
+    removes two kernel launches / fusion breaks per layer at identical
+    math (each output column's dot product is independent, so results
+    are bitwise-equal to the separate matmuls).  Works on plain and
+    int8-quantized (``quantize_params``) trees; apply AFTER quantizing.
+    The head split order is [q | k | v], matching ``_attention_qkv``.
+    """
+
+    def fuse(parts, key, axis=1):
+        return jnp.concatenate([p[key] for p in parts], axis=axis)
+
+    root = dict(params["params"])
+    for name in list(root):
+        if not name.startswith("attn_"):
+            continue
+        lp = dict(root[name])
+        if not all(k in lp for k in ("to_q", "to_k", "to_v")):
+            continue
+        parts = [lp.pop("to_q"), lp.pop("to_k"), lp.pop("to_v")]
+        if "kernel_q" in parts[0]:
+            lp["to_qkv"] = {
+                "kernel_q": fuse(parts, "kernel_q"),
+                "kernel_scale": fuse(parts, "kernel_scale"),
+            }
+        else:
+            lp["to_qkv"] = {"kernel": fuse(parts, "kernel")}
+        root[name] = lp
+    out = dict(params)
+    out["params"] = root
+    return out
+
+
 def init_decode_state(model: CosineSimCausalTransformer, batch: int,
                       capacity: int, kv_dtype=jnp.int8) -> DecodeState:
     kvh = model.kv_heads or model.heads
@@ -74,9 +111,14 @@ def _attention_qkv(model, layer_p, x, groups):
 
     def split(t, nh):
         return t.reshape(*t.shape[:-1], nh, dh).swapaxes(-2, -3)
-    q = split(_dense(layer_p["to_q"], x), h)
-    k = split(_dense(layer_p["to_k"], x), kvh)
-    v = split(_dense(layer_p["to_v"], x), kvh)
+    if "to_qkv" in layer_p:
+        qkv = _dense(layer_p["to_qkv"], x)
+        q, k, v = jnp.split(qkv, [h * dh, (h + kvh) * dh], axis=-1)
+    else:
+        q = _dense(layer_p["to_q"], x)
+        k = _dense(layer_p["to_k"], x)
+        v = _dense(layer_p["to_v"], x)
+    q, k, v = split(q, h), split(k, kvh), split(v, kvh)
     q, k = l2norm_tensors(q, k, groups=groups)
     return q, k, v
 

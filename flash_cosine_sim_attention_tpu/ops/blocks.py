@@ -66,18 +66,23 @@ def pick_block_sizes(dtype, head_dim: int, seq_q: int, seq_k: int,
 
 
 def pick_bwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int,
-                      has_bias: bool = False):
+                      has_bias: bool = False, which: str = "dq"):
     """(block_own, block_other_outer, block_other_inner) for the
     TRANSPOSED backward kernels.
 
     The dQ kernel owns a q block (lanes) and streams K/V in big outer
     blocks; the dKdV kernel owns a k block (lanes) and streams Q/dO.
     Sub-tiling bounds the live f32 score tiles (two per step: s^T and
-    dP^T).  FCSA_BWD_BQ/BKO/BKI override.
+    dP^T).  ``which`` ("dq"/"dkdv") selects the kernel's table entry —
+    the two kernels stream different operand sets, so their optima need
+    not coincide.  FCSA_DQ_*/FCSA_DKDV_* env triples override per
+    kernel; FCSA_BWD_BQ/BKO/BKI overrides both.
     """
     import os
 
-    env = [os.environ.get("FCSA_BWD_" + k) for k in ("BQ", "BKO", "BKI")]
+    pfx = "FCSA_DQ_" if which == "dq" else "FCSA_DKDV_"
+    env = [os.environ.get(pfx + k) or os.environ.get("FCSA_BWD_" + k)
+           for k in ("BQ", "BKO", "BKI")]
     if all(env):
         bo, bko, bki = (int(x) for x in env)
     elif has_bias:

@@ -427,7 +427,7 @@ def _backward_transposed(
     bias_reduce = (h if bias_batch_dim else b) if has_bias else 0
 
     bo_d, bko_d, bki_d = pick_bwd_blocks_t(
-        q.dtype, d, seq_q, seq_k, has_bias=has_bias)
+        q.dtype, d, seq_q, seq_k, has_bias=has_bias, which="dq")
     if blocks_t is not None:
         bo_d, bko_d, bki_d = blocks_t
     bq = block_q or bo_d           # dQ's owned block (lane width)
@@ -436,8 +436,13 @@ def _backward_transposed(
     if bko % bki:
         bki = bko  # remainder sub-tiles would drop columns
     # dKdV's own triple: (owned k lanes, outer q stream, inner q sub-tile)
-    kv_o, kv_bko, kv_bki = (blocks_t_kv if blocks_t_kv is not None
-                            else (bq, bko, bki))
+    if blocks_t_kv is not None:
+        kv_o, kv_bko, kv_bki = blocks_t_kv
+    elif blocks_t is not None or block_q or block_k:
+        kv_o, kv_bko, kv_bki = bq, bko, bki  # legacy: shared override
+    else:
+        kv_o, kv_bko, kv_bki = pick_bwd_blocks_t(
+            q.dtype, d, seq_k, seq_q, has_bias=has_bias, which="dkdv")
     kv_bki = min(kv_bki, kv_bko)
     if kv_bko % kv_bki:
         kv_bki = kv_bko

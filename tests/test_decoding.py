@@ -198,3 +198,44 @@ def test_gqa_model_cached_decode_matches_full_forward():
         out = model.apply(params, seq[:, : prime.shape[1] + i])
         ref = np.asarray(out[0, -1])
         np.testing.assert_allclose(cached[i], ref, atol=0.05)
+
+
+def test_fused_qkv_params_match_unfused():
+    """fuse_qkv_params: one concatenated to_qkv matmul per layer must
+    reproduce the separate to_q/to_k/to_v projections through prefill and
+    decode steps — plain, quantized, and GQA trees."""
+    from flash_cosine_sim_attention_tpu.models.decoding import (
+        fuse_qkv_params,
+    )
+    from flash_cosine_sim_attention_tpu.quant.weights import quantize_params
+
+    for kvh in (None, 2):
+        model = CosineSimCausalTransformer(
+            num_tokens=64, dim=64, depth=2, max_seq_len=128, heads=4,
+            kv_heads=kvh, dim_head=16, pre_norm=True, attn_scale=1.0,
+            dtype=jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        prime = jax.random.randint(rng, (2, 12), 0, 64)
+        params = model.init(rng, prime)
+
+        for quant in (False, True):
+            base = quantize_params(params) if quant else params
+            fused = fuse_qkv_params(base)
+            lp = fused["params"]["attn_0"]
+            assert "to_qkv" in lp and "to_q" not in lp
+            key = "kernel_q" if quant else "kernel"
+            assert lp["to_qkv"][key].shape == (64, (4 + 2 * (kvh or 4)) * 16)
+
+            st_a = init_decode_state(model, 2, 64)
+            st_b = init_decode_state(model, 2, 64)
+            la, st_a = prefill(model, base, st_a, prime)
+            lb, st_b = prefill(model, fused, st_b, prime)
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=1e-5)
+            tok = jnp.argmax(la, -1)
+            for _ in range(3):
+                la, st_a = decode_step(model, base, st_a, tok)
+                lb, st_b = decode_step(model, fused, st_b, tok)
+                np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                           atol=1e-5)
+                tok = jnp.argmax(la, -1)
