@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--chunked", action="store_true",
                     help="admit the mid-stream prompt in chunks "
                          "interleaved with decode steps")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8-quantize the weight matrices")
+    ap.add_argument("--fuse-qkv", action="store_true",
+                    help="fuse each layer's q/k/v projections into one "
+                         "matmul (fuse_qkv_params)")
     args = ap.parse_args()
 
     from flash_cosine_sim_attention_tpu.models import (
@@ -43,6 +48,14 @@ def main():
         attn_scale=1.0, pre_norm=True, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, jax.random.randint(rng, (1, 32), 0, 256))
+    if args.quantize:
+        from flash_cosine_sim_attention_tpu.quant.weights import (
+            quantize_params,
+        )
+        params = quantize_params(params)
+    if args.fuse_qkv:
+        from flash_cosine_sim_attention_tpu.models import fuse_qkv_params
+        params = fuse_qkv_params(params)
 
     if args.paged:
         from flash_cosine_sim_attention_tpu.serving import (
