@@ -134,33 +134,45 @@ def _dq_kernel_t(
         qT = (qT_ref[0, 0].astype(jnp.float32) * c).astype(qT_ref.dtype)
         doT = doT_ref[0, 0]
         delta = deltaT_ref[0, 0]          # (1, block_q), pre-scaled
-        row = qi * block_q + seq_len_diff + jax.lax.broadcasted_iota(
-            jnp.int32, (bki, block_q), 1)
+
+        # lane-narrowing case count (see fwd_kernel.py): a causal
+        # straddling sub-tile starting t columns past the q block's first
+        # position only touches q lanes >= t, so its matmuls statically
+        # shrink to the lane window [t_granule, block_q) — big lane blocks
+        # stop paying block_q-wide diagonal waste
+        ncase = (block_q // bki
+                 if causal and block_q > bki and block_q % bki == 0 else 1)
 
         n_sub = bko // bki
         for j in range(n_sub):
             col0 = ki * bko + j * bki
             edge_possible = (nk - 1) * bko + (j + 1) * bki > seq_k
 
-            def _sub(masked, j=j, col0=col0, edge_possible=edge_possible):
+            def _sub(masked, off=0, j=j, col0=col0,
+                     edge_possible=edge_possible):
+                w = block_q - off                  # static lane window
                 kj = k_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
                 vj = v_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
-                sT = mm(kj, qT,
-                        (((1,), (0,)), ((), ())))              # (bki, block_q)
+                sT = mm(kj, qT[:, off:] if off else qT,
+                        (((1,), (0,)), ((), ())))              # (bki, w)
                 if has_bias:
                     sT = sT + biasT_ref[
-                        0, j * bki:(j + 1) * bki].astype(jnp.float32) * LOG2E
-                dpT = mm(vj, doT, (((1,), (0,)), ((), ())))
-                ds = jnp.exp2(sT) * (dpT - delta)
+                        0, j * bki:(j + 1) * bki, off:
+                    ].astype(jnp.float32) * LOG2E
+                dpT = mm(vj, doT[:, off:] if off else doT,
+                         (((1,), (0,)), ((), ())))
+                ds = jnp.exp2(sT) * (dpT - delta[:, off:])
 
                 keep = None
                 col_s = None
                 if masked and (edge_possible or causal):
                     col_s = col0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (bki, block_q), 0)
+                        jnp.int32, (bki, w), 0)
                 if masked and edge_possible:
                     keep = col_s < seq_k
                 if masked and causal:
+                    row = (qi * block_q + off + seq_len_diff
+                           + jax.lax.broadcasted_iota(jnp.int32, (bki, w), 1))
                     cc = col_s <= row
                     keep = cc if keep is None else keep & cc
                 if has_mask:
@@ -173,7 +185,7 @@ def _dq_kernel_t(
                     # reference, too, accumulates dB before ds *= scale,
                     # cu:1574-1582); q-lane bounds need no mask — OOB
                     # lanes fall outside the array at write-back
-                    dbT_ref[0, j * bki:(j + 1) * bki] += ds
+                    dbT_ref[0, j * bki:(j + 1) * bki, off:] += ds
                 # K's OOB rows multiply only zeroed ds rows, but garbage
                 # can be non-finite: zero them
                 if masked and edge_possible and seq_k % bki != 0:
@@ -182,22 +194,34 @@ def _dq_kernel_t(
                     kj = jnp.where(k_rows < seq_k, kj, jnp.zeros_like(kj))
 
                 dq_upd = mm(kj, ds.astype(kj.dtype),
-                            (((0,), (0,)), ((), ())))          # (d, block_q)
+                            (((0,), (0,)), ((), ())))          # (d, w)
                 if has_bias:
-                    dq_acc[ri] += dq_upd
+                    dq_acc[ri, :, off:] += dq_upd
                 else:
-                    dq_acc[...] += dq_upd
+                    dq_acc[:, off:] += dq_upd
 
             # static: can this j's sub-tile ever touch the sequence edge?
             if causal:
                 # three-way branch on the (traced) diagonal position:
-                # fully-above -> skip; straddling -> masked math;
-                # fully-below -> fast path with no mask ops at all
+                # fully-above -> skip; straddling -> masked math (one case
+                # per bki-granule of the diagonal offset t, each with a
+                # statically-narrowed lane window); fully-below -> fast
+                # path with no mask ops at all
                 sub_interior = col0 + bki - 1 <= (
                     qi * block_q + seq_len_diff)
                 sub_visible = q_last >= col0
-                pl.when(sub_visible & jnp.logical_not(sub_interior))(
-                    lambda: _sub(True))
+                straddle = sub_visible & jnp.logical_not(sub_interior)
+                if ncase == 1:
+                    pl.when(straddle)(lambda: _sub(True))
+                else:
+                    t = col0 - (qi * block_q + seq_len_diff)
+                    # cs >= 1 cases imply straddle: t >= bki rules out
+                    # interior (needs t <= 1 - bki), t < block_q is
+                    # exactly sub_visible
+                    pl.when(straddle & (t < bki))(lambda: _sub(True))
+                    for cs in range(1, ncase):
+                        pl.when((t >= cs * bki) & (t < (cs + 1) * bki))(
+                            functools.partial(_sub, True, cs * bki))
                 if edge_possible:
                     pl.when(sub_interior)(lambda: _sub(True))
                 else:

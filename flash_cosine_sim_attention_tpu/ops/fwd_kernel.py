@@ -106,10 +106,16 @@ def _fwd_kernel_t(
             # pre-fold scale*log2e into the (d, block_q) Q tile: the MXU
             # then emits ready-to-exp2 logits
             qT = (qT.astype(jnp.float32) * c).astype(qT_ref.dtype)
-        # q positions ride the LANES (pre-shifted by the cross-attention
-        # causal alignment, cu:1097: query row r sees cols <= r + diff)
-        row = qi * block_q + seq_len_diff + jax.lax.broadcasted_iota(
-            jnp.int32, (bki, block_q), 1)
+
+        # lane-narrowing case count: a causal sub-tile starting t columns
+        # past the q block's first position only touches q lanes >= t, so
+        # its matmuls can statically shrink to the lane window [t, block_q)
+        # — the diagonal over-compute that made big lane blocks causal-
+        # hostile disappears.  One pl.when case per bki-granule of t;
+        # ncase == 1 (e.g. the default block_q == bki) emits exactly the
+        # single-branch kernel.
+        ncase = (block_q // bki
+                 if causal and block_q > bki and block_q % bki == 0 else 1)
 
         n_sub = bko // bki
         for j in range(n_sub):
@@ -118,17 +124,18 @@ def _fwd_kernel_t(
             # the last outer block can overrun, at ki = nk - 1
             edge_possible = (nk - 1) * bko + (j + 1) * bki > seq_k
 
-            def _sub(j=j, col0=col0, edge_possible=edge_possible):
+            def _sub(off, j=j, col0=col0, edge_possible=edge_possible):
+                w = block_q - off                 # static lane window
                 kj = k_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
                 if has_bias:
                     # bias arrives j-major (bias^T): same (k-rows,
                     # q-lanes) orientation as s^T, so it adds straight
                     # into the logits with no in-kernel relayout
                     biasT_j = biasT_ref[
-                        0, j * bki:(j + 1) * bki].astype(jnp.float32)
+                        0, j * bki:(j + 1) * bki, off:].astype(jnp.float32)
                 if kj.dtype == jnp.int8:
                     sT = jax.lax.dot_general(
-                        kj, qT_ref[0, 0], (((1,), (0,)), ((), ())),
+                        kj, qT_ref[0, 0, :, off:], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     ).astype(jnp.float32)
                     logits2 = sT * (c * s_dequant)
@@ -140,8 +147,9 @@ def _fwd_kernel_t(
                     # instead of HIGHEST's 6-pass lowering — same trick as
                     # the backward, halves the f32 MXU work
                     sT = _make_mm(kj.dtype)(
-                        kj, qT, (((1,), (0,)), ((), ())),
-                    )                                          # (bki, block_q)
+                        kj, qT[:, off:] if off else qT,
+                        (((1,), (0,)), ((), ())),
+                    )                                          # (bki, w)
                     if has_bias:
                         sT = sT + biasT_j * LOG2E
                     e = jnp.exp2(sT)
@@ -153,10 +161,15 @@ def _fwd_kernel_t(
                 col_s = None
                 if edge_possible or causal:
                     col_s = col0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (bki, block_q), 0)
+                        jnp.int32, (bki, w), 0)
                 if edge_possible:
                     keep = col_s < seq_k
                 if causal:
+                    # q positions ride the LANES (pre-shifted by the
+                    # cross-attention causal alignment, cu:1097: query row
+                    # r sees cols <= r + diff)
+                    row = (qi * block_q + off + seq_len_diff
+                           + jax.lax.broadcasted_iota(jnp.int32, (bki, w), 1))
                     # whole sub-tile below the diagonal -> mask is a no-op
                     sub_interior = col0 + bki - 1 <= (
                         qi * block_q + seq_len_diff)
@@ -177,17 +190,29 @@ def _fwd_kernel_t(
                     vj = jnp.where(lane < seq_k, vj, jnp.zeros_like(vj))
 
                 eb = e.astype(vT_ref.dtype)
-                lsum_ref[...] += jnp.sum(e, axis=0, keepdims=True)
-                acc_ref[...] += _make_mm(vj.dtype)(
+                lsum_ref[:, off:] += jnp.sum(e, axis=0, keepdims=True)
+                acc_ref[:, off:] += _make_mm(vj.dtype)(
                     vj, eb, (((1,), (0,)), ((), ())),
-                )                                              # (d, block_q)
+                )                                              # (d, w)
 
             if causal:
-                # sub-tile-granular causal skip: tiles fully above the
-                # diagonal cost no MXU/VPU work (cu:1178's early exit)
-                pl.when(q_last >= col0)(_sub)
+                if ncase == 1:
+                    # sub-tile-granular causal skip: tiles fully above the
+                    # diagonal cost no MXU/VPU work (cu:1178's early exit)
+                    pl.when(q_last >= col0)(lambda: _sub(0))
+                else:
+                    t = col0 - (qi * block_q + seq_len_diff)
+                    # t < bki: interior + first-diagonal granule (t <= 0
+                    # included); t >= block_q: above the diagonal, no
+                    # branch fires (the causal skip).  Each case's lane
+                    # window [c*bki, block_q) covers every valid lane
+                    # (valid q >= col0 -> lane index >= t >= c*bki).
+                    pl.when(t < bki)(lambda: _sub(0))
+                    for cs in range(1, ncase):
+                        pl.when((t >= cs * bki) & (t < (cs + 1) * bki))(
+                            functools.partial(_sub, cs * bki))
             else:
-                _sub()
+                _sub(0)
 
     @pl.when(ki == nk - 1)
     def _finalize():

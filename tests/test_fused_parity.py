@@ -378,3 +378,18 @@ def test_nonaligned_outer_blocks(i, j, kvh, causal):
         assert float(jnp.abs(of - op).max()) < 1e-4
         return
     check(q, k, v, None, None, causal=causal, bbd=False)
+
+
+@pytest.mark.parametrize("i,j", [(512, 512), (384, 640), (384, 600)])
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_causal_lane_narrowing(i, j, use_bias):
+    """block_q spanning 4 inner K sub-tiles (bki 128): the causal diagonal
+    crosses a q block lane-wise, so each bki-granule fires a different
+    statically-narrowed lane window [t_granule, block_q) — parity across
+    interior, diagonal, and partial granules (plus the j-major bias slice
+    at an offset window)."""
+    rng = np.random.default_rng(31)
+    q, k, v, _, bias = make_inputs(
+        rng, 1, 2, 2, i, j, 64, False, use_bias, False, jnp.float32)
+    check(q, k, v, None, bias, causal=True, bbd=False,
+          block_q=512, block_k=128)
