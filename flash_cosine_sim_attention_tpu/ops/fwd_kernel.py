@@ -30,7 +30,6 @@ The mapping to TPU is very different from the CUDA realization:
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
@@ -57,7 +56,6 @@ def _fwd_kernel_t(
     has_bias: bool,
     out_dtype,
     s_dequant: float,
-    fused_lsum: bool = False,
 ):
     """Transposed forward: s^T = K Q^T, O^T = V^T e^T.
 
@@ -192,14 +190,10 @@ def _fwd_kernel_t(
                     vj = jnp.where(lane < seq_k, vj, jnp.zeros_like(vj))
 
                 eb = e.astype(vT_ref.dtype)
-                if not fused_lsum:
-                    lsum_ref[:, off:] += jnp.sum(e, axis=0, keepdims=True)
-                # with fused_lsum, vj carries a trailing ones row, so the
-                # PV matmul's (free) extra MXU output row IS the rowsum —
-                # the per-sub-tile VPU reduction above disappears
+                lsum_ref[:, off:] += jnp.sum(e, axis=0, keepdims=True)
                 acc_ref[:, off:] += _make_mm(vj.dtype)(
                     vj, eb, (((1,), (0,)), ((), ())),
-                )                                              # (d[+1], w)
+                )                                              # (d, w)
 
             if causal:
                 if ncase == 1:
@@ -222,13 +216,8 @@ def _fwd_kernel_t(
 
     @pl.when(ki == nk - 1)
     def _finalize():
-        if fused_lsum:
-            d_out = oT_ref.shape[2]
-            inv_l = 1.0 / jnp.maximum(acc_ref[d_out:, :], EPS)  # (1, block_q)
-            oT_ref[0, 0] = (acc_ref[:d_out] * inv_l).astype(out_dtype)
-        else:
-            inv_l = 1.0 / jnp.maximum(lsum_ref[...], EPS)      # (1, block_q)
-            oT_ref[0, 0] = (acc_ref[...] * inv_l).astype(out_dtype)
+        inv_l = 1.0 / jnp.maximum(lsum_ref[...], EPS)          # (1, block_q)
+        oT_ref[0, 0] = (acc_ref[...] * inv_l).astype(out_dtype)
         lT_ref[0, 0] = inv_l
 
 
@@ -265,20 +254,6 @@ def _forward_transposed(
     qT = q.swapaxes(-1, -2)   # (b, h, d, i) — XLA folds these relayouts
     vT = v.swapaxes(-1, -2)   # (b, kvh, d, j)
 
-    # experiment (FCSA_FWD_FUSED_LSUM=1, default off until TPU-measured):
-    # append a ones row to V^T so the PV matmul's extra output row — free
-    # on the 128-sublane MXU at d <= 127 — computes the rowsum, deleting
-    # one VPU pass over every exp-weight tile.  Exact for f32 (the ones
-    # row splits losslessly through the 3-pass hi/lo mm); bf16 moves the
-    # rowsum from an f32 VPU sum to f32-accumulated bf16 terms (<= 2^-9
-    # relative, inside the bf16 parity tolerance).
-    fused_lsum = os.environ.get("FCSA_FWD_FUSED_LSUM", "0") == "1" \
-        and d < 128
-    dv = d + 1 if fused_lsum else d
-    if fused_lsum:
-        vT = jnp.concatenate(
-            [vT, jnp.ones((b, kvh, 1, seq_k), vT.dtype)], axis=2)
-
     kv_head = (lambda hi: hi) if kvh == h else (lambda hi: hi // q_per_kv)
 
     seq_len_diff = seq_k - seq_q
@@ -295,7 +270,7 @@ def _forward_transposed(
         pl.BlockSpec((1, 1, bko, d),
                      lambda bi, hi, qi, ki: (bi, kv_head(hi),
                                              clamp_k(qi, ki), 0)),
-        pl.BlockSpec((1, 1, dv, bko),
+        pl.BlockSpec((1, 1, d, bko),
                      lambda bi, hi, qi, ki: (bi, kv_head(hi), 0,
                                              clamp_k(qi, ki))),
     ]
@@ -323,7 +298,6 @@ def _forward_transposed(
         block_q=bq, bko=bko, bki=bki, has_mask=has_mask, has_bias=has_bias,
         out_dtype=out_dtype,
         s_dequant=float(s_dequant),
-        fused_lsum=fused_lsum,
     )
 
     oT, lT = pl.pallas_call(
@@ -339,7 +313,7 @@ def _forward_transposed(
             jax.ShapeDtypeStruct((b, h, 1, seq_q), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((dv, bq), jnp.float32),
+            pltpu.VMEM((d, bq), jnp.float32),
             pltpu.VMEM((1, bq), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -393,16 +393,3 @@ def test_causal_lane_narrowing(i, j, use_bias):
         rng, 1, 2, 2, i, j, 64, False, use_bias, False, jnp.float32)
     check(q, k, v, None, bias, causal=True, bbd=False,
           block_q=512, block_k=128)
-
-
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_fused_lsum_experiment(monkeypatch, dtype):
-    """FCSA_FWD_FUSED_LSUM=1: the PV matmul's extra ones-row output IS
-    the rowsum (no per-sub-tile VPU reduction).  Exact through the f32
-    3-pass split; bf16 within the shared tolerance.  Distinct shape so
-    the dispatch cache can't serve a trace from the default path."""
-    monkeypatch.setenv("FCSA_FWD_FUSED_LSUM", "1")
-    rng = np.random.default_rng(37)
-    q, k, v, _, bias = make_inputs(
-        rng, 2, 3, 3, 320, 448, 64, False, True, False, dtype)
-    check(q, k, v, None, bias, causal=True, bbd=False)
