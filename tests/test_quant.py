@@ -62,10 +62,12 @@ def _fill_cache(rng, b, kvh, cap, d, n_tokens, groups=1):
 @pytest.mark.parametrize("kvh,h", [(4, 4), (1, 8)])
 @pytest.mark.parametrize("n_tokens", [63, 256])
 @pytest.mark.parametrize("use_kernel", [False, True])
-@pytest.mark.parametrize("d", [64, 32])
+@pytest.mark.parametrize("d", [64, 32, 128])
 def test_decode_kernel_vs_oracle(kvh, h, n_tokens, use_kernel, d):
     """d=64 exercises the lane-packed kernel at tpr=2, d=32 at tpr=4
-    (four tokens per 128-lane row; distinct parity-recovery unroll)."""
+    (four tokens per 128-lane row; distinct parity-recovery unroll),
+    d=128 the degenerate tpr=1 packing (one token per row, no parity
+    recovery)."""
     rng = np.random.default_rng(2)
     b, cap = 2, 256
     cache, _, _ = _fill_cache(rng, b, kvh, cap, d, n_tokens)
