@@ -393,3 +393,21 @@ def test_causal_lane_narrowing(i, j, use_bias):
         rng, 1, 2, 2, i, j, 64, False, use_bias, False, jnp.float32)
     check(q, k, v, None, bias, causal=True, bbd=False,
           block_q=512, block_k=128)
+
+
+@pytest.mark.parametrize("use_bias", [False, True])
+def test_lane_narrowing_with_inner_subtiles(monkeypatch, use_bias):
+    """ncase>1 combined with n_sub>1 — the config the TPU sweep arms use
+    (e.g. 1024,4096,512).  Public block overrides force bko==bki, so this
+    drives the env triples instead: bq=512, bko=256, bki=128 gives
+    ncase=4 lane cases x n_sub=2 inner sub-tiles per outer block in BOTH
+    the fwd and dQ kernels (with the dB fold when biased).  Distinct
+    shape so the dispatch cache can't serve an old trace."""
+    for pfx in ("FCSA_FWD_", "FCSA_DQ_"):
+        monkeypatch.setenv(pfx + "BQ", "512")
+        monkeypatch.setenv(pfx + "BKO", "256")
+        monkeypatch.setenv(pfx + "BKI", "128")
+    rng = np.random.default_rng(41)
+    q, k, v, _, bias = make_inputs(
+        rng, 1, 2, 2, 448, 576, 64, False, use_bias, False, jnp.float32)
+    check(q, k, v, None, bias, causal=True, bbd=False)
