@@ -39,7 +39,10 @@ def main():
         None,                 # tuned defaults
         (512, 4096, 512),
         (512, 2048, 512),
-        (1024, 4096, 512),
+        (1024, 4096, 512),    # causal lane-narrowing arm (ncase=2)
+        (1024, 4096, 256),    # causal lane-narrowing arm (ncase=4)
+        (1024, 4096, 1024),   # big lanes, no narrowing (dQ's r3 winner)
+        (2048, 4096, 512),    # causal lane-narrowing arm (ncase=4)
         (512, 4096, 256),
         (256, 4096, 512),
     ]
