@@ -46,3 +46,46 @@ def test_fuzz_parity(seed):
         c["use_mask"], c["use_bias"], c["bbd"], c["dtype"])
     check(q, k, v, mask, bias, causal=c["causal"], bbd=c["bbd"],
           block_q=c["block_q"], block_k=c["block_k"])
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_decode(seed):
+    """Ragged decode fuzz across the packed/unpacked kernel dispatch:
+    random head dims (tpr 1/2/4/8), GQA ratios, capacities (not always
+    128-aligned with d — exercising the (cap*d) % 128 fallback), fill
+    lengths, and block sizes, vs the dequant-everything oracle."""
+    from flash_cosine_sim_attention_tpu.quant import (
+        append,
+        init_cache,
+        quantized_decode_attention,
+        reference_decode_attention,
+    )
+    from flash_cosine_sim_attention_tpu import l2norm_tensors
+
+    rng = np.random.default_rng(2000 + seed)
+    d = int(rng.choice([16, 32, 64, 128]))
+    kvh = int(rng.choice([1, 2, 4]))
+    h = kvh * int(rng.choice([1, 2]))
+    b = int(rng.integers(1, 3))
+    cap = int(rng.choice([96, 128, 192, 256, 384]))
+    n_tokens = int(rng.integers(1, cap + 1))
+    block_k = int(rng.choice([64, 128, 256]))
+    use_kernel = rng.choice([None, True, False])
+    use_kernel = bool(use_kernel) if use_kernel is not None else None
+
+    cache = init_cache(b, kvh, cap, d)
+    k = jnp.asarray(rng.standard_normal((b, kvh, n_tokens, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kvh, n_tokens, d)), jnp.float32)
+    cache = append(cache, l2norm_tensors(k), v)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+
+    out = quantized_decode_attention(q, cache, block_k=block_k,
+                                     use_kernel=use_kernel)
+    ref = reference_decode_attention(q, cache)
+    # kernel-vs-oracle delta is quantization-free in K (both see the same
+    # int8) but the kernel's bf16 matmul error grows as components do:
+    # normalized d=16 vectors have ~2x the per-component magnitude of
+    # d=64, so give small d double the stated delta
+    tol = 5e-3 if d >= 32 else 1e-2
+    assert float(jnp.abs(out - ref).max()) < tol, (
+        d, kvh, h, b, cap, n_tokens, block_k, use_kernel)
