@@ -40,6 +40,7 @@ enough and strictly more accurate).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -248,7 +249,7 @@ def _dq_kernel_t(
 def _dkdv_kernel_t(
     *refs,
     scale, causal, seq_q, seq_k, block_k, bqo, bqi, has_mask, has_bias,
-    q_per_kv, out_dtype,
+    q_per_kv, out_dtype, narrow=False,
 ):
     """Transposed dKdV: tiles in (k-rows, q-lanes) orientation.
 
@@ -304,31 +305,46 @@ def _dkdv_kernel_t(
         c = scale * LOG2E
         k = k_ref[0, 0]                   # (block_k, d)
 
+        # lane-narrowing case count for the straddling causal sub-tile
+        # (see fwd_kernel.py): a tile starting t > 0 columns past the q
+        # sub-tile's first position only has valid q lanes >= t, and here
+        # q lanes are the CONTRACTION axis of the dv/dk accumulation, so
+        # narrowing shrinks all four matmuls with no accumulator offset.
+        # One case per `gran` lanes, at most 4 cases (code-size bound).
+        # Unlike the fwd/dQ narrowing (inert at the default blocks), this
+        # WOULD change the default kernel, so it stays behind
+        # FCSA_DKDV_NARROW=1 until measured on hardware.
+        gran = max(128, bqi // 4)
+        ncase = bqi // gran if narrow and causal and bqi > gran \
+            and bqi % gran == 0 else 1
+
         n_sub = bqo // bqi
         for j in range(n_sub):
             q0 = qi * bqo + j * bqi
             q_edge = (nq - 1) * bqo + (j + 1) * bqi > seq_q
 
-            def _sub(masked, j=j, q0=q0, q_edge=q_edge):
-                qTj_raw = qT_ref[0, 0, :, j * bqi:(j + 1) * bqi]  # (d, bqi)
-                doTj = doT_ref[0, 0, :, j * bqi:(j + 1) * bqi]
+            def _sub(masked, lo=0, j=j, q0=q0, q_edge=q_edge):
+                w = bqi - lo                       # static lane window
+                sl = slice(j * bqi + lo, (j + 1) * bqi)
+                qTj_raw = qT_ref[0, 0, :, sl]                 # (d, w)
+                doTj = doT_ref[0, 0, :, sl]
                 if masked and q_edge and seq_q % bqi != 0:
                     # zero Q/dO's OOB lanes: they CONTRACT into dk/dv and
                     # 0 * garbage = NaN otherwise
-                    lane_q = q0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, bqi), 1)
+                    lane_q = q0 + lo + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, w), 1)
                     in_b = lane_q < seq_q
                     qTj_raw = jnp.where(in_b, qTj_raw,
                                         jnp.zeros_like(qTj_raw))
                     doTj = jnp.where(in_b, doTj, jnp.zeros_like(doTj))
                 qTj = (qTj_raw.astype(jnp.float32) * c).astype(qT_ref.dtype)
-                delta = deltaT_ref[0, 0, :, j * bqi:(j + 1) * bqi]
+                delta = deltaT_ref[0, 0, :, sl]
 
                 sT = mm(k, qTj,
-                        (((1,), (0,)), ((), ())))             # (block_k, bqi)
+                        (((1,), (0,)), ((), ())))             # (block_k, w)
                 if has_bias:
                     sT = sT + biasT_ref[
-                        0, :, j * bqi:(j + 1) * bqi
+                        0, :, sl
                     ].astype(jnp.float32) * LOG2E
                 dpT = mm(v_ref[0, 0], doTj, (((1,), (0,)), ((), ())))
                 e = jnp.exp2(sT)
@@ -340,13 +356,13 @@ def _dkdv_kernel_t(
                 keep = None
                 row_q = None
                 if masked and (q_edge or causal):
-                    row_q = q0 + jax.lax.broadcasted_iota(
-                        jnp.int32, (block_k, bqi), 1)
+                    row_q = q0 + lo + jax.lax.broadcasted_iota(
+                        jnp.int32, (block_k, w), 1)
                 if masked and q_edge:
                     keep = row_q < seq_q
                 if masked and causal:
                     col_k = ki * block_k + jax.lax.broadcasted_iota(
-                        jnp.int32, (block_k, bqi), 0)
+                        jnp.int32, (block_k, w), 0)
                     cc = col_k <= row_q + seq_len_diff
                     keep = cc if keep is None else keep & cc
                 if has_mask:
@@ -365,13 +381,27 @@ def _dkdv_kernel_t(
 
             if causal:
                 # three-way: q sub-tiles whose LAST row is above this k
-                # block see nothing; straddling tiles mask; tiles whose
-                # FIRST row already sees the whole k block skip mask ops
+                # block see nothing; straddling tiles mask (narrowed to
+                # their valid lane window when t > 0); tiles whose FIRST
+                # row already sees the whole k block skip mask ops
                 sub_interior = (ki * block_k + block_k - 1
                                 <= q0 + seq_len_diff)
                 sub_visible = q0 + bqi - 1 + seq_len_diff >= ki * block_k
-                pl.when(sub_visible & jnp.logical_not(sub_interior))(
-                    lambda: _sub(True))
+                straddle = sub_visible & jnp.logical_not(sub_interior)
+                if ncase == 1:
+                    pl.when(straddle)(lambda: _sub(True))
+                else:
+                    t = ki * block_k - (q0 + seq_len_diff)
+                    # lanes < t have no visible k row (col_k >= t + q0 +
+                    # diff > q_pos for all of them), so the window
+                    # [floor(t/gran)*gran, bqi) keeps every valid lane;
+                    # t <= 0 straddles (k block starts at-or-before the
+                    # sub-tile) take the full window
+                    pl.when(straddle & (t < gran))(lambda: _sub(True))
+                    for cs in range(1, ncase):
+                        pl.when(straddle & (t >= cs * gran)
+                                & (t < (cs + 1) * gran))(
+                            functools.partial(_sub, True, cs * gran))
                 if q_edge:
                     pl.when(sub_interior)(lambda: _sub(True))
                 else:
@@ -657,7 +687,8 @@ def _backward_transposed(
             _dkdv_kernel_t, scale=float(scale), causal=causal, seq_q=seq_q,
             seq_k=seq_k, block_k=bk_own, bqo=kv_bko, bqi=kv_bki,
             has_mask=has_mask, has_bias=has_bias, q_per_kv=q_per_kv,
-            out_dtype=k.dtype),
+            out_dtype=k.dtype,
+            narrow=os.environ.get("FCSA_DKDV_NARROW", "0") == "1"),
         grid=(b, nko, h, nqo),
         in_specs=dkv_specs,
         out_specs=[kv_out_spec, kv_out_spec],

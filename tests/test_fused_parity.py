@@ -411,3 +411,18 @@ def test_lane_narrowing_with_inner_subtiles(monkeypatch, use_bias):
     q, k, v, _, bias = make_inputs(
         rng, 1, 2, 2, 448, 576, 64, False, use_bias, False, jnp.float32)
     check(q, k, v, None, bias, causal=True, bbd=False)
+
+
+@pytest.mark.parametrize("i,j", [(512, 512), (384, 600)])
+def test_dkdv_straddle_narrowing(monkeypatch, i, j):
+    """FCSA_DKDV_NARROW=1: the dKdV kernel's straddling causal sub-tile
+    narrows to its valid q-lane window per 128-lane granule (the lanes
+    are the dv/dk contraction axis, so accumulators stay full-shape).
+    Off by default until measured; parity across granule-aligned and
+    mid-granule diagonal offsets, with bias (dB folds in the dQ kernel,
+    unaffected) and GQA."""
+    monkeypatch.setenv("FCSA_DKDV_NARROW", "1")
+    rng = np.random.default_rng(51)
+    q, k, v, _, bias = make_inputs(
+        rng, 1, 4, 2, i, j, 64, False, True, False, jnp.float32)
+    check(q, k, v, None, bias, causal=True, bbd=False)

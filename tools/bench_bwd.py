@@ -45,6 +45,8 @@ def main():
                     help="bo,bko,bki triple to time (dQ kernel)")
     ap.add_argument("--blocks-kv", type=str, default=None,
                     help="bo,bko,bki triple for the dKdV kernel")
+    ap.add_argument("--dkdv-narrow-ab", action="store_true",
+                    help="within-process A/B of FCSA_DKDV_NARROW")
     args = ap.parse_args()
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
@@ -110,6 +112,17 @@ def main():
                     if t < best[1]:
                         best = ((bo, bko, bki), t)
         print("BEST", best)
+        return
+    if args.dkdv_narrow_ab:
+        # within-process A/B: each timed() builds a fresh jitted closure,
+        # so the env flag is re-read at trace time
+        import os
+        for narrow in ("0", "1"):
+            os.environ["FCSA_DKDV_NARROW"] = narrow
+            t_all = timed(blocks, "all", blocks_kv)
+            t_dq = timed(blocks, "dq", blocks_kv)
+            print(f"narrow={narrow}: bwd total {t_all:.3f} ms | "
+                  f"dQ {t_dq:.3f} | dKdV {t_all - t_dq:.3f} ms", flush=True)
         return
     t_all = timed(blocks, "all", blocks_kv)
     t_dq = timed(blocks, "dq", blocks_kv)

@@ -51,6 +51,13 @@ else
   run 1500 python tools/bench_bwd.py --sweep-kv
 fi
 
+# 2b. dKdV straddle-narrowing A/B (within-process env toggle)
+if [ -n "${BEST:-}" ]; then
+  run 900 python tools/bench_bwd.py --blocks "$BEST" --dkdv-narrow-ab
+else
+  run 900 python tools/bench_bwd.py --dkdv-narrow-ab
+fi
+
 # 3. fwd block sweep (within-process config list incl. narrowed arms)
 run 1500 python tools/tune_blocks.py
 
