@@ -426,3 +426,14 @@ def test_dkdv_straddle_narrowing(monkeypatch, i, j):
     q, k, v, _, bias = make_inputs(
         rng, 1, 4, 2, i, j, 64, False, True, False, jnp.float32)
     check(q, k, v, None, bias, causal=True, bbd=False)
+
+
+def test_large_bias_reduce_rowmajor_fallback():
+    """bias_reduce > 16 (here batch 17 with a per-head bias) falls back
+    to the row-major backward kernels + separate dB pass — the dB fold's
+    per-reduce-step dq accumulator would scale VMEM with the shared
+    axis.  Parity for the fallback path, which no other test reaches."""
+    rng = np.random.default_rng(61)
+    q, k, v, _, bias = make_inputs(
+        rng, 17, 2, 2, 130, 130, 64, False, True, False, jnp.float32)
+    check(q, k, v, None, bias, causal=True, bbd=False)

@@ -64,9 +64,10 @@ run 1500 python tools/tune_blocks.py
 # 4. headline check with current defaults
 run 580 python bench.py
 
-# 5. f32 backward defaults + sweep (VERDICT #2)
+# 5. f32 backward defaults + sweep (VERDICT #2), f32 forward sweep
 run 900 python tools/bench_bwd.py --f32
 run 1500 python tools/bench_bwd.py --f32 --sweep
+run 1500 python tools/tune_blocks.py --f32
 
 # 6. bias path (VERDICT #3 done-check)
 run 900 python tools/bench_bias.py

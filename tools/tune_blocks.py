@@ -21,10 +21,12 @@ def main():
     ap.add_argument("--causal", action="store_true", default=True)
     ap.add_argument("--no-causal", dest="causal", action="store_false")
     ap.add_argument("--num-times", type=int, default=20)
+    ap.add_argument("--f32", action="store_true",
+                    help="sweep float32 (its table was never swept)")
     args = ap.parse_args()
 
     b, h, seq, d = 4, 8, args.seq, args.dim_head
-    dtype = jnp.bfloat16
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
     rng = np.random.default_rng(0)
     q, k, v = (jnp.asarray(rng.standard_normal((b, h, seq, d)), dtype)
                for _ in range(3))
