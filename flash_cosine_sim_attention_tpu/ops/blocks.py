@@ -92,11 +92,16 @@ def pick_bwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int,
         bo, bko, bki = 512, 1024, 512
     elif dtype == jnp.float32:
         bo, bko, bki = 512, 1024, 512
+    elif which == "dq":
+        # v5e round-3 sweep (causal bf16 d=64 @4096, dQ pass isolated via
+        # DCE): (512, 2048, 1024) -> 1.025 ms vs 1.030 @bki 512, 1.187
+        # @bo 1024/bko 4096, 1.355 @the old (512, 4096, 512) default
+        bo, bko, bki = 512, 2048, 1024
     else:
-        # v5e sweep (causal bf16 d=64 @4096, fused fwd+bwd): (512, 4096,
-        # 512) -> 1.40 ms vs 1.56 @bko 2048, 1.62 @bo 1024, 1.65 @bko
-        # 1024, 1.83 @bo 256
-        bo, bko, bki = 512, 4096, 512
+        # v5e round-3 sweep (causal bf16 d=64 @4096, dKdV = all - pinned
+        # dQ): (1024, 4096, 1024) -> 1.503 ms vs 1.527 @bko 2048, 1.562
+        # @bo 512, 1.570 @the old (512, 4096, 512) default
+        bo, bko, bki = 1024, 4096, 1024
     bo = min(bo, _round_up(max(seq_q, 1), 128))
     bki = min(bki, _round_up(max(seq_k, 1), 128))
     # bko MUST be a multiple of bki (the unrolled inner loop covers

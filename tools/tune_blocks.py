@@ -5,6 +5,9 @@ candidates.  Not part of the package — a developer tool.
 """
 
 import argparse
+import sys
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
