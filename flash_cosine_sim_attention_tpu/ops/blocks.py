@@ -23,6 +23,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def vmem_limit() -> int:
+    """Scoped-VMEM cap (bytes) for the fused kernels' CompilerParams.
+
+    XLA's default scoped-vmem limit is 16 MiB, which rejected several of
+    the round-3 swept block configs at compile time (e.g. the fwd
+    (1024, 4096, 512) arm needed 19.6 MiB of kernel stack); v5e has
+    128 MiB of physical VMEM per core, so a higher cap is safe — it is
+    an admission limit the compiler checks, not an allocation.
+    ``FCSA_VMEM_MB`` overrides for sweeps.
+    """
+    import os
+
+    mb = os.environ.get("FCSA_VMEM_MB")
+    return int(float(mb) * 2**20) if mb else 64 * 2**20
+
+
 def pick_block_sizes(dtype, head_dim: int, seq_q: int, seq_k: int,
                      kind: str = "fwd"):
     """Return (block_q, block_k) for the fused kernels.
@@ -93,10 +109,12 @@ def pick_bwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int,
     elif dtype == jnp.float32:
         bo, bko, bki = 512, 1024, 512
     elif which == "dq":
-        # v5e round-3 sweep (causal bf16 d=64 @4096, dQ pass isolated via
-        # DCE): (512, 2048, 1024) -> 1.025 ms vs 1.030 @bki 512, 1.187
-        # @bo 1024/bko 4096, 1.355 @the old (512, 4096, 512) default
-        bo, bko, bki = 512, 2048, 1024
+        # v5e round-4 interleaved A/B (causal bf16 d=64 @4096, dQ pass
+        # isolated via DCE, round-robin medians): (1024, 4096, 512)
+        # -> 1.213 ms (lane-narrowed diagonal, ncase=2) vs 1.235
+        # @bki 1024, 1.367 @the r3 (512, 2048, 1024), 3.74 @bki 256
+        # (branch-case explosion)
+        bo, bko, bki = 1024, 4096, 512
     else:
         # v5e round-3 sweep (causal bf16 d=64 @4096, dKdV = all - pinned
         # dQ): (1024, 4096, 1024) -> 1.503 ms vs 1.527 @bko 2048, 1.562
@@ -133,7 +151,12 @@ def pick_fwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
         # double-buffered K/V^T windows + score tile inside VMEM
         bq, bko, bki = 512, 2048, 512
     else:
-        bq, bko, bki = 512, 4096, 512
+        # v5e round-3/4 sweep (causal bf16 d=64 @4096): (1024, 4096,
+        # 1024) -> 0.870 ms vs 0.977 @the old (512, 4096, 512) — fewer
+        # lane blocks mean fewer Q/O fetch+flush rounds, and the 1024
+        # inner sub-tile's extra diagonal waste is cheaper than the
+        # per-sub-tile overhead it removes
+        bq, bko, bki = 1024, 4096, 1024
     bq = min(bq, _round_up(max(seq_q, 1), 128))
     bki = min(bki, _round_up(max(seq_k, 1), 128))
     # bko MUST be a multiple of bki (see pick_bwd_blocks_t)

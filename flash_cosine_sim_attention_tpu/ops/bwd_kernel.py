@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .blocks import pick_block_sizes, pick_bwd_blocks_t
+from .blocks import vmem_limit as _vmem_limit
 from .mxu import make_mm as _make_mm
 
 LOG2E = 1.4426950408889634
@@ -154,15 +155,26 @@ def _dq_kernel_t(
                 w = block_q - off                  # static lane window
                 kj = k_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
                 vj = v_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
-                sT = mm(kj, qT[:, off:] if off else qT,
-                        (((1,), (0,)), ((), ())))              # (bki, w)
+                if off:
+                    # windowed operands are re-loaded from the refs, NOT
+                    # lane-sliced from the full-width registers: a
+                    # register value with a lane offset trips a Mosaic
+                    # "Invalid input layout" on the (1, w) -> (bki, w)
+                    # broadcast (and a fresh VMEM load at a 128-multiple
+                    # lane offset is free — the load adjusts its base)
+                    qT_w = (qT_ref[0, 0, :, off:].astype(jnp.float32)
+                            * c).astype(qT_ref.dtype)
+                    doT_w = doT_ref[0, 0, :, off:]
+                    delta_w = deltaT_ref[0, 0, :, off:]
+                else:
+                    qT_w, doT_w, delta_w = qT, doT, delta
+                sT = mm(kj, qT_w, (((1,), (0,)), ((), ())))    # (bki, w)
                 if has_bias:
                     sT = sT + biasT_ref[
                         0, j * bki:(j + 1) * bki, off:
                     ].astype(jnp.float32) * LOG2E
-                dpT = mm(vj, doT[:, off:] if off else doT,
-                         (((1,), (0,)), ((), ())))
-                ds = jnp.exp2(sT) * (dpT - delta[:, off:])
+                dpT = mm(vj, doT_w, (((1,), (0,)), ((), ())))
+                ds = jnp.exp2(sT) * (dpT - delta_w)
 
                 keep = None
                 col_s = None
@@ -598,6 +610,7 @@ def _backward_transposed(
             ],
             scratch_shapes=[pltpu.VMEM((bias_reduce, d, bq), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
                 dimension_semantics=("parallel", "parallel", "arbitrary",
                                      "arbitrary")),
             interpret=interpret,
@@ -639,6 +652,7 @@ def _backward_transposed(
             out_shape=jax.ShapeDtypeStruct((b, h, d, seq_q), q.dtype),
             scratch_shapes=[pltpu.VMEM((d, bq), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
                 dimension_semantics=("parallel", "parallel", "parallel",
                                      "arbitrary")),
             interpret=interpret,
@@ -701,6 +715,7 @@ def _backward_transposed(
             pltpu.VMEM((d, bk_own), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
             dimension_semantics=(
                 "parallel", "parallel",
                 "parallel" if q_per_kv == 1 else "arbitrary",
@@ -1156,6 +1171,7 @@ def flash_attention_backward(
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
@@ -1213,6 +1229,7 @@ def flash_attention_backward(
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
             # nk is parallel (each K/V block's accumulation lives entirely
             # inside its own (h, q) sweep); h is parallel only when each
             # query head owns its KV head (no cross-head accumulation).
@@ -1302,6 +1319,7 @@ def _bias_grad(
         out_shape=jax.ShapeDtypeStruct(bias.shape, bias.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, block_k), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,

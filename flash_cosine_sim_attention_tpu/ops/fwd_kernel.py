@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .blocks import EPS, pick_fwd_blocks_t
+from .blocks import vmem_limit as _vmem_limit
 from .mxu import make_mm as _make_mm
 
 LOG2E = 1.4426950408889634
@@ -127,6 +128,15 @@ def _fwd_kernel_t(
             def _sub(off, j=j, col0=col0, edge_possible=edge_possible):
                 w = block_q - off                 # static lane window
                 kj = k_ref[0, 0, j * bki:(j + 1) * bki]       # (bki, d)
+                if off and qT.dtype != jnp.int8:
+                    # windowed Q is re-loaded from the ref (and re-scaled)
+                    # rather than lane-sliced from the full-width register:
+                    # register values with a lane offset trip a Mosaic
+                    # "Invalid input layout" (see bwd_kernel._dq_kernel_t)
+                    qT_w = (qT_ref[0, 0, :, off:].astype(jnp.float32)
+                            * c).astype(qT_ref.dtype)
+                else:
+                    qT_w = qT if not off else None
                 if has_bias:
                     # bias arrives j-major (bias^T): same (k-rows,
                     # q-lanes) orientation as s^T, so it adds straight
@@ -147,8 +157,7 @@ def _fwd_kernel_t(
                     # instead of HIGHEST's 6-pass lowering — same trick as
                     # the backward, halves the f32 MXU work
                     sT = _make_mm(kj.dtype)(
-                        kj, qT[:, off:] if off else qT,
-                        (((1,), (0,)), ((), ())),
+                        kj, qT_w, (((1,), (0,)), ((), ())),
                     )                                          # (bki, w)
                     if has_bias:
                         sT = sT + biasT_j * LOG2E
@@ -317,6 +326,7 @@ def _forward_transposed(
             pltpu.VMEM((1, bq), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
