@@ -130,6 +130,43 @@ def pick_bwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int,
     return bo, bko, bki
 
 
+def pick_fused_bwd_blocks(dtype, head_dim: int, seq_q: int, seq_k: int):
+    """(block_k, block_q_inner) for the ONE-pass fused backward kernel.
+
+    The kernel owns a k block (``block_k`` rows of s^T / lanes of the
+    dk/dv accumulators) and walks the VMEM-resident q extent in
+    ``block_q_inner``-lane sub-tiles.  FCSA_FB_BK / FCSA_FB_BQI override
+    for sweeps.
+    """
+    import os
+
+    env_bk = os.environ.get("FCSA_FB_BK")
+    env_bqi = os.environ.get("FCSA_FB_BQI")
+    if env_bk and env_bqi:
+        bk, bqi = int(env_bk), int(env_bqi)
+    elif dtype == jnp.float32:
+        # f32 score tiles are 4-byte twice over (s^T and dP^T live
+        # together): halve both axes
+        bk, bqi = 512, 512
+    else:
+        # v5e round-4 sweep (causal bf16 d=64 @4096): see bwd_kernel
+        bk, bqi = 1024, 1024
+    bk = min(bk, _round_up(max(seq_k, 1), 128))
+    bqi = min(bqi, _round_up(max(seq_q, 1), 128))
+    return bk, bqi
+
+
+def onepass_bwd_max_seq() -> int:
+    """Residency cap for the one-pass fused backward: its dQ^T accumulator
+    and Q/dO tiles keep the WHOLE q extent in VMEM, so it gates on seq_q
+    and longer sequences take the two-pass kernels.  Default 8192 (~6 MiB
+    resident at d=64 bf16); FCSA_ONEPASS_MAX_SEQ overrides (0 disables
+    the one-pass path)."""
+    import os
+
+    return int(os.environ.get("FCSA_ONEPASS_MAX_SEQ", "8192"))
+
+
 def pick_fwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
     """(block_q, block_k_outer, block_k_inner) for the TRANSPOSED forward.
 

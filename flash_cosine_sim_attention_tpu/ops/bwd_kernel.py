@@ -48,7 +48,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .blocks import pick_block_sizes, pick_bwd_blocks_t
+from .blocks import (
+    _round_up,
+    onepass_bwd_max_seq,
+    pick_block_sizes,
+    pick_bwd_blocks_t,
+    pick_fused_bwd_blocks,
+)
 from .blocks import vmem_limit as _vmem_limit
 from .mxu import make_mm as _make_mm
 
@@ -200,8 +206,11 @@ def _dq_kernel_t(
                     # lanes fall outside the array at write-back
                     dbT_ref[0, j * bki:(j + 1) * bki, off:] += ds
                 # K's OOB rows multiply only zeroed ds rows, but garbage
-                # can be non-finite: zero them
-                if masked and edge_possible and seq_k % bki != 0:
+                # can be non-finite: zero them.  NOT gated on seq_k % bki:
+                # an explicit outer block override can over-cover
+                # (nk * bko > seq_k) with bki | seq_k, leaving whole
+                # sub-tiles OOB
+                if masked and edge_possible:
                     k_rows = col0 + jax.lax.broadcasted_iota(
                         jnp.int32, (bki, 1), 0)
                     kj = jnp.where(k_rows < seq_k, kj, jnp.zeros_like(kj))
@@ -340,9 +349,12 @@ def _dkdv_kernel_t(
                 sl = slice(j * bqi + lo, (j + 1) * bqi)
                 qTj_raw = qT_ref[0, 0, :, sl]                 # (d, w)
                 doTj = doT_ref[0, 0, :, sl]
-                if masked and q_edge and seq_q % bqi != 0:
+                if masked and q_edge:
                     # zero Q/dO's OOB lanes: they CONTRACT into dk/dv and
-                    # 0 * garbage = NaN otherwise
+                    # 0 * garbage = NaN otherwise.  NOT gated on
+                    # seq_q % bqi: an explicit outer block override can
+                    # over-cover (nq * bqo > seq_q) with bqi | seq_q,
+                    # leaving whole sub-tiles OOB
                     lane_q = q0 + lo + jax.lax.broadcasted_iota(
                         jnp.int32, (1, w), 1)
                     in_b = lane_q < seq_q
@@ -427,6 +439,257 @@ def _dkdv_kernel_t(
     def _finalize():
         dkT_ref[0, 0] = (dk_acc[...] * scale).astype(out_dtype)
         dvT_ref[0, 0] = dv_acc[...].astype(out_dtype)
+
+
+def _fused_bwd_kernel_t(
+    *refs,
+    scale, causal, seq_q, seq_k, bqo, bqi, bk, has_mask, out_dtype,
+):
+    """ONE-pass fused backward: dQ + dK + dV from a single recompute sweep.
+
+    The two-pass transposed backward recomputes ``s^T = K Q^T`` and
+    ``dP^T = V dO^T`` twice — once per kernel — and those are exactly the
+    d-deep HALF-RATE matmuls (the MXU is 128 deep; d=64 fills half).  This
+    kernel shares them: per (k-block, q-sub-tile) it runs
+
+        sT  = K Qj^T          (half rate, shared)
+        dpT = V dOj^T         (half rate, shared)
+        dV^T += dOj^T  P^T    (full rate)
+        dK^T += Qj^T  dS^T    (full rate)
+        dQj^T += K^T  dS^T    (full rate, contraction over the k block)
+
+    i.e. 5 matmuls where the two passes pay 7, and the eliminated pair is
+    the expensive one — a time-weighted ~35% cut (measured two-pass split:
+    dQ 1.21 + dKdV 1.50 ms @ bf16 causal 4096).
+
+    Ownership without atomics (the reference accumulates dQ via HBM
+    atomicAdd, cu:1600-1610): grid = (b, h, nk) with K OUTER-STREAMED and
+    the ENTIRE Q extent VMEM-resident per (b, h) — Q/dO/delta tiles'
+    index maps ignore the K grid axis so they are fetched once, and dQ^T
+    accumulates in a (d, padded_seq_q) f32 scratch that every k step
+    updates at STATIC lane offsets (the sub-tile loop is unrolled Python).
+    dK/dV accumulate per k block as in the dKdV kernel.  The residency
+    requirement is the path's one limit: it gates on seq_q (default cap
+    8192, FCSA_ONEPASS_MAX_SEQ) and longer sequences take the two-pass
+    kernels.  HBM traffic is optimal: Q/dO/K/V read once, dQ/dK/dV
+    written once.
+
+    GQA runs per-QUERY-head (out dk/dv carry h heads) and the group
+    reduction happens outside in XLA f32 — the two-pass kernel's
+    cross-head VMEM accumulation would need the heads axis inside the k
+    grid axis, which would evict the resident Q tiles per head instead.
+    """
+    idx = 0
+    qT_ref = refs[idx]; idx += 1          # (1, 1, d, bqo) resident
+    k_ref = refs[idx]; idx += 1           # (1, 1, bk, d)
+    v_ref = refs[idx]; idx += 1           # (1, 1, bk, d)
+    doT_ref = refs[idx]; idx += 1         # (1, 1, d, bqo), pre * inv_l
+    deltaT_ref = refs[idx]; idx += 1      # (1, 1, 1, bqo), pre * inv_l
+    mask_ref = None
+    if has_mask:
+        mask_ref = refs[idx]; idx += 1    # (1, bk, 1) f32
+    dqT_ref, dkT_ref, dvT_ref = refs[idx : idx + 3]
+    dq_acc, dk_acc, dv_acc = refs[idx + 3 : idx + 6]
+
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    seq_len_diff = seq_k - seq_q
+    k_ragged = seq_k % bk != 0            # only the LAST k block pads
+    q_ragged = seq_q % bqi != 0           # only the LAST q sub-tile pads
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    dk_acc[...] = jnp.zeros_like(dk_acc)
+    dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    mm = _make_mm(qT_ref.dtype)
+    c = scale * LOG2E
+    k = k_ref[0, 0]                       # (bk, d)
+    v = v_ref[0, 0]
+
+    n_sub = bqo // bqi
+    for j in range(n_sub):
+        q0 = j * bqi                      # STATIC: q is fully resident
+        q_edge = (j + 1) * bqi > seq_q    # static: only the last sub-tile
+
+        def _sub(masked, j=j, q0=q0, q_edge=q_edge):
+            sl = slice(j * bqi, (j + 1) * bqi)
+            qTj_raw = qT_ref[0, 0, :, sl]                 # (d, bqi)
+            doTj = doT_ref[0, 0, :, sl]
+            if masked and q_edge and q_ragged:
+                # zero Q/dO's OOB lanes: they CONTRACT into dk/dv and
+                # 0 * garbage = NaN otherwise
+                lane_q = q0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, bqi), 1)
+                in_b = lane_q < seq_q
+                qTj_raw = jnp.where(in_b, qTj_raw, jnp.zeros_like(qTj_raw))
+                doTj = jnp.where(in_b, doTj, jnp.zeros_like(doTj))
+            qTj = (qTj_raw.astype(jnp.float32) * c).astype(qT_ref.dtype)
+            delta = deltaT_ref[0, 0, :, sl]               # (1, bqi)
+
+            sT = mm(k, qTj, (((1,), (0,)), ((), ())))     # (bk, bqi)
+            dpT = mm(v, doTj, (((1,), (0,)), ((), ())))
+            e = jnp.exp2(sT)
+            ds = e * (dpT - delta)
+
+            keep = None
+            row_q = None
+            if masked and (q_edge or causal):
+                row_q = q0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (bk, bqi), 1)
+            if masked and q_edge and q_ragged:
+                keep = row_q < seq_q
+            col_k = None
+            if masked and (causal or k_ragged):
+                col_k = ki * bk + jax.lax.broadcasted_iota(
+                    jnp.int32, (bk, bqi), 0)
+            if masked and k_ragged:
+                # OOB k rows CONTRACT into dq (and carry garbage s/dp)
+                kb = col_k < seq_k
+                keep = kb if keep is None else keep & kb
+            if masked and causal:
+                cc = col_k <= row_q + seq_len_diff
+                keep = cc if keep is None else keep & cc
+            if has_mask:
+                km = mask_ref[0] > 0                      # (bk, 1)
+                keep = km if keep is None else keep & km
+            if keep is not None:
+                p2 = jnp.where(keep, e, 0.0)
+                ds2 = jnp.where(keep, ds, 0.0)
+            else:
+                p2, ds2 = e, ds
+
+            dv_acc[...] += mm(doTj, p2.astype(doTj.dtype),
+                              (((1,), (1,)), ((), ())))   # (d, bk)
+            dk_acc[...] += mm(qTj_raw, ds2.astype(qTj_raw.dtype),
+                              (((1,), (1,)), ((), ())))   # (d, bk)
+            kz = k
+            if masked and k_ragged:
+                # zeroed ds rows hit K's OOB rows in the dq contraction;
+                # 0 * non-finite garbage would still poison dq
+                k_rows = ki * bk + jax.lax.broadcasted_iota(
+                    jnp.int32, (bk, 1), 0)
+                kz = jnp.where(k_rows < seq_k, k, jnp.zeros_like(k))
+            dq_acc[:, sl] += mm(kz, ds2.astype(kz.dtype),
+                                (((0,), (0,)), ((), ())))  # (d, bqi)
+
+        if causal:
+            # three-way per q sub-tile (k block is the traced side): above
+            # the diagonal -> skip; straddling -> masked; interior -> fast
+            # path (masked only for the ragged last q sub-tile, whose OOB
+            # lanes need zeroing even below the diagonal).  The padded
+            # last k block can never be causal-interior (its last row
+            # index >= seq_k > any visible q position), so the k-edge
+            # masking rides the straddle branch.
+            sub_interior = ki * bk + bk - 1 <= q0 + seq_len_diff
+            sub_visible = q0 + bqi - 1 + seq_len_diff >= ki * bk
+            straddle = sub_visible & jnp.logical_not(sub_interior)
+            pl.when(straddle)(lambda: _sub(True))
+            interior_masked = q_edge and q_ragged
+            pl.when(sub_interior)(
+                functools.partial(_sub, interior_masked))
+        elif (q_edge and q_ragged) or k_ragged:
+            _sub(True)
+        else:
+            _sub(False)
+
+    dkT_ref[0, 0] = (dk_acc[...] * scale).astype(out_dtype)
+    dvT_ref[0, 0] = dv_acc[...].astype(out_dtype)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dqT_ref[0, 0] = (dq_acc[...] * scale).astype(out_dtype)
+
+
+def _backward_fused(
+    do, o, inv_l, q, k, v, mask, *, scale, causal, interpret,
+    blocks_f=None,
+):
+    """Launch the one-pass fused backward; returns (dq, dk, dv).
+
+    ``blocks_f`` = (bk, bqi) override for the sweep harness.
+    """
+    b, h, seq_q, d = q.shape
+    kvh = k.shape[1]
+    seq_k = k.shape[2]
+    q_per_kv = h // kvh
+
+    bk, bqi = blocks_f or pick_fused_bwd_blocks(q.dtype, d, seq_q, seq_k)
+    bqo = _round_up(seq_q, bqi)           # whole q extent, one padded block
+    nk = pl.cdiv(seq_k, bk)
+
+    # host-side pre-scaling (see _backward_transposed): P = e * inv_l
+    # never materializes in the kernel
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+        keepdims=True)
+    deltaT = (delta * inv_l).swapaxes(-1, -2)        # (b, h, 1, i)
+    qT = q.swapaxes(-1, -2)                          # (b, h, d, i)
+    doT = (do.astype(jnp.float32) * inv_l).astype(do.dtype)\
+        .swapaxes(-1, -2)                            # (b, h, d, i)
+
+    has_mask = mask is not None
+    mask_s = mask.astype(jnp.float32)[:, :, None] if has_mask else None
+    kv_head = (lambda hi: hi) if kvh == h else (lambda hi: hi // q_per_kv)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, d, bqo), lambda bi, hi, ki: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, bk, d),
+                     lambda bi, hi, ki: (bi, kv_head(hi), ki, 0)),
+        pl.BlockSpec((1, 1, bk, d),
+                     lambda bi, hi, ki: (bi, kv_head(hi), ki, 0)),
+        pl.BlockSpec((1, 1, d, bqo), lambda bi, hi, ki: (bi, hi, 0, 0)),
+        pl.BlockSpec((1, 1, 1, bqo), lambda bi, hi, ki: (bi, hi, 0, 0)),
+    ]
+    args = [qT, k, v, doT, deltaT]
+    if has_mask:
+        args.append(mask_s)
+        in_specs.append(
+            pl.BlockSpec((1, bk, 1), lambda bi, hi, ki: (bi, ki, 0)))
+
+    # GQA: dk/dv come out PER QUERY HEAD and reduce over the group in f32
+    # outside (see kernel docstring); MHA (kvh == h) writes directly.
+    kv_out_spec = pl.BlockSpec(
+        (1, 1, d, bk), lambda bi, hi, ki: (bi, hi, 0, ki))
+    dqT, dkT, dvT = pl.pallas_call(
+        functools.partial(
+            _fused_bwd_kernel_t, scale=float(scale), causal=causal,
+            seq_q=seq_q, seq_k=seq_k, bqo=bqo, bqi=bqi, bk=bk,
+            has_mask=has_mask, out_dtype=q.dtype),
+        grid=(b, h, nk),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, d, bqo), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            kv_out_spec,
+            kv_out_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, d, seq_q), q.dtype),
+            jax.ShapeDtypeStruct((b, h, d, seq_k), k.dtype),
+            jax.ShapeDtypeStruct((b, h, d, seq_k), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, bqo), jnp.float32),
+            pltpu.VMEM((d, bk), jnp.float32),
+            pltpu.VMEM((d, bk), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+
+    dq = dqT.swapaxes(-1, -2)
+    dk = dkT.swapaxes(-1, -2)
+    dv = dvT.swapaxes(-1, -2)
+    if kvh != h:
+        dk = dk.reshape(b, kvh, q_per_kv, seq_k, d)\
+            .astype(jnp.float32).sum(axis=2).astype(k.dtype)
+        dv = dv.reshape(b, kvh, q_per_kv, seq_k, d)\
+            .astype(jnp.float32).sum(axis=2).astype(v.dtype)
+    return dq, dk, dv
 
 
 def _recompute_p_and_ds(
@@ -1060,6 +1323,7 @@ def flash_attention_backward(
     interpret: bool = False,
     blocks_t=None,
     blocks_t_kv=None,
+    blocks_f=None,
 ):
     """Full backward; returns (dq, dk, dv, db_or_None)."""
     b, h, seq_q, d = q.shape
@@ -1067,6 +1331,28 @@ def flash_attention_backward(
     seq_k = k.shape[2]
     assert h % kvh == 0, (h, kvh)
     q_per_kv = h // kvh
+
+    # Kernel selection, fastest first:
+    #   1. ONE-pass fused dQ+dK+dV (shares the half-rate s^T/dP^T
+    #      recomputes — see _fused_bwd_kernel_t): the default whenever its
+    #      q-extent VMEM residency holds and no bias rides along.  Any
+    #      explicit block override pins the two-pass kernels (that is the
+    #      two-pass path's test/sweep hook) unless it IS the fused sweep
+    #      hook ``blocks_f``.
+    #   2. two-pass transposed kernels (bias folds dB^T into the dQ sweep).
+    #   3. row-major kernels + separate dB pass for unusually large bias
+    #      reduce axes (VMEM bound on the dB fold's accumulator).
+    use_onepass = blocks_f is not None or (
+        bias is None
+        and blocks_t is None and blocks_t_kv is None
+        and block_q is None and block_k is None
+        and seq_q <= onepass_bwd_max_seq()
+    )
+    if use_onepass:
+        dq, dk, dv = _backward_fused(
+            do, o, inv_l, q, k, v, mask, scale=scale, causal=causal,
+            interpret=interpret, blocks_f=blocks_f)
+        return dq, dk, dv, None
 
     # transposed kernels (full-rate dQ^T/dK^T/dV^T matmuls) are the hot
     # path, bias included (dB^T folds into the dQ sweep).  The dB fold's

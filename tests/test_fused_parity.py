@@ -437,3 +437,97 @@ def test_large_bias_reduce_rowmajor_fallback():
     q, k, v, _, bias = make_inputs(
         rng, 17, 2, 2, 130, 130, 64, False, True, False, jnp.float32)
     check(q, k, v, None, bias, causal=True, bbd=False)
+
+
+# --- ONE-pass fused backward (dQ+dK+dV sharing the s^T/dP^T recompute) ---
+
+def _bwd_both_paths(q, k, v, mask, *, causal, blocks_f):
+    """Run the backward through the one-pass kernel (blocks_f pins it)
+    and the two-pass transposed kernels (blocks_t pins those) on
+    identical inputs; returns the two (dq, dk, dv) triples."""
+    from flash_cosine_sim_attention_tpu.ops.bwd_kernel import (
+        flash_attention_backward,
+    )
+    from flash_cosine_sim_attention_tpu.ops.fwd_kernel import (
+        flash_attention_forward,
+    )
+    from flash_cosine_sim_attention_tpu.ops.reference import l2norm_tensors
+
+    qn, kn = l2norm_tensors(q, k)
+    o, inv_l = flash_attention_forward(
+        qn, kn, v, mask, None, bias_batch_dim=False, scale=8.0,
+        causal=causal, interpret=True)
+    rng = np.random.default_rng(5)
+    do = jnp.asarray(rng.standard_normal(o.shape), o.dtype)
+    one = flash_attention_backward(
+        do, o, inv_l, qn, kn, v, mask, None, bias_batch_dim=False,
+        scale=8.0, causal=causal, interpret=True, blocks_f=blocks_f)[:3]
+    two = flash_attention_backward(
+        do, o, inv_l, qn, kn, v, mask, None, bias_batch_dim=False,
+        scale=8.0, causal=causal, interpret=True,
+        blocks_t=(128, 256, 128), blocks_t_kv=(128, 256, 128))[:3]
+    return one, two
+
+
+@pytest.mark.parametrize("i,j,kvh,causal,use_mask", [
+    (256, 256, 4, True, False),     # square causal, aligned
+    (300, 300, 4, True, False),     # ragged q AND k straddle the diagonal
+    (192, 320, 2, True, False),     # GQA + causal cross-attention
+    (128, 257, 1, False, True),     # MQA + ragged k + key mask
+    (250, 130, 4, True, False),     # seq_q > seq_k causal alignment
+])
+def test_onepass_bwd_matches_twopass(i, j, kvh, causal, use_mask):
+    """The one-pass kernel's dq/dk/dv equal the two-pass kernels' to f32
+    tile-math exactness (same math, same f32 accumulation; the GQA group
+    reduction happens in f32 either way)."""
+    rng = np.random.default_rng(71)
+    q = jnp.asarray(rng.standard_normal((2, 4, i, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, kvh, j, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, kvh, j, 64)), jnp.float32)
+    mask = jnp.asarray(rng.random((2, j)) > 0.3) if use_mask else None
+    one, two = _bwd_both_paths(q, k, v, mask, causal=causal,
+                               blocks_f=(128, 128))
+    for name, a, b in zip("dq dk dv".split(), one, two):
+        diff = float(jnp.abs(a - b).max())
+        assert diff < 1e-5, f"{name} one-pass vs two-pass diff {diff}"
+
+
+def test_onepass_bwd_multi_subtile_and_kblocks():
+    """bqo spanning several inner sub-tiles AND several k blocks: the
+    causal three-way branch (skip / straddle / interior) and the
+    cross-k-block dq accumulation at static lane offsets."""
+    rng = np.random.default_rng(72)
+    q = jnp.asarray(rng.standard_normal((1, 2, 384, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 384, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 384, 64)), jnp.float32)
+    one, two = _bwd_both_paths(q, k, v, None, causal=True,
+                               blocks_f=(128, 128))
+    for name, a, b in zip("dq dk dv".split(), one, two):
+        assert float(jnp.abs(a - b).max()) < 1e-5, name
+
+
+def test_onepass_seq_cap_falls_back(monkeypatch):
+    """Above FCSA_ONEPASS_MAX_SEQ the default backward takes the two-pass
+    kernels (the one-pass path keeps the whole q extent VMEM-resident);
+    0 disables the one-pass path outright."""
+    from flash_cosine_sim_attention_tpu.ops import bwd_kernel
+
+    calls = []
+    orig = bwd_kernel._backward_fused
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(bwd_kernel, "_backward_fused", spy)
+    rng = np.random.default_rng(73)
+    q, k, v, _, _ = make_inputs(
+        rng, 1, 2, 2, 130, 130, 64, False, False, False, jnp.float32)
+
+    monkeypatch.setenv("FCSA_ONEPASS_MAX_SEQ", "0")
+    check(q, k, v, None, None, causal=True, bbd=False)
+    assert not calls, "one-pass ran despite FCSA_ONEPASS_MAX_SEQ=0"
+
+    monkeypatch.setenv("FCSA_ONEPASS_MAX_SEQ", "256")
+    check(q, k, v, None, None, causal=True, bbd=False)
+    assert calls, "one-pass did not run under the cap"

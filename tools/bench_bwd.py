@@ -45,6 +45,10 @@ def main():
                     help="bo,bko,bki triple to time (dQ kernel)")
     ap.add_argument("--blocks-kv", type=str, default=None,
                     help="bo,bko,bki triple for the dKdV kernel")
+    ap.add_argument("--blocks-f", type=str, default=None,
+                    help="bk,bqi pair for the ONE-pass fused kernel")
+    ap.add_argument("--sweep-fused", action="store_true",
+                    help="sweep the fused kernel's (bk, bqi)")
     ap.add_argument("--dkdv-narrow-ab", action="store_true",
                     help="within-process A/B of FCSA_DKDV_NARROW")
     args = ap.parse_args()
@@ -61,14 +65,15 @@ def main():
             q, k, v, None, None, bias_batch_dim=False, scale=8.0,
             causal=causal))(q, k, v)
 
-    def timed(blocks_t, what="all", blocks_t_kv=None):
+    def timed(blocks_t, what="all", blocks_t_kv=None, blocks_f=None):
         @jax.jit
         def run(n, do, o, inv_l, q, k, v):
             def body(i, do):
                 dq, dk, dv, _ = flash_attention_backward(
                     do, o, inv_l, q, k, v, None, None,
                     bias_batch_dim=False, scale=8.0, causal=causal,
-                    blocks_t=blocks_t, blocks_t_kv=blocks_t_kv)
+                    blocks_t=blocks_t, blocks_t_kv=blocks_t_kv,
+                    blocks_f=blocks_f)
                 out = dq.astype(jnp.float32)
                 if what == "all":
                     out = out + jnp.sum(dk.astype(jnp.float32)) \
@@ -82,6 +87,32 @@ def main():
               if args.blocks else None)
     blocks_kv = (tuple(int(x) for x in args.blocks_kv.split(","))
                  if args.blocks_kv else None)
+    blocks_f = (tuple(int(x) for x in args.blocks_f.split(","))
+                if args.blocks_f else None)
+
+    if args.sweep_fused:
+        best = (None, 1e9)
+        for bk in (256, 512, 1024, 2048):
+            for bqi in (256, 512, 1024, 2048):
+                if bk > args.n or bqi > args.n:
+                    continue
+                try:
+                    t = timed(None, "all", None, (bk, bqi))
+                except Exception as e:
+                    print(f"bk={bk} bqi={bqi}: FAIL {type(e).__name__}",
+                          flush=True)
+                    continue
+                print(f"bk={bk} bqi={bqi}: {t:.3f} ms", flush=True)
+                if t < best[1]:
+                    best = ((bk, bqi), t)
+        print("BEST", best)
+        return
+
+    if blocks_f is not None:
+        t = timed(None, "all", None, blocks_f)
+        print(f"shape {shape} {dtype.__name__} causal={causal} "
+              f"ONE-pass fused blocks_f={blocks_f}: {t:.3f} ms")
+        return
 
     if args.sweep or args.sweep_kv:
         # --sweep varies the dQ triple (timing the dq-only slice so the
