@@ -130,13 +130,23 @@ def pick_bwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int,
     return bo, bko, bki
 
 
-def pick_fused_bwd_blocks(dtype, head_dim: int, seq_q: int, seq_k: int):
+def pick_fused_bwd_blocks(dtype, head_dim: int, seq_q: int, seq_k: int,
+                          causal: bool = False):
     """(block_k, block_q_inner) for the ONE-pass fused backward kernel.
 
     The kernel owns a k block (``block_k`` rows of s^T / lanes of the
     dk/dv accumulators) and walks the VMEM-resident q extent in
-    ``block_q_inner``-lane sub-tiles.  FCSA_FB_BK / FCSA_FB_BQI override
-    for sweeps.
+    ``block_q_inner``-lane sub-tiles.  The round-5 v5e sweeps found the
+    CAUSAL path collapses at block shapes that are fine non-causally
+    (the predicated straddle/interior branches stop overlapping with
+    the K/V stream past a per-dtype k block size): causal bf16 @8192
+    ran 12.6 ms at (1024, 1024) vs 6.8 at (512, 1024), causal f32
+    @4096 10.3 ms at (512, 512) vs 4.7 at (256, 256) — and the causal
+    winners cost little at the non-causal shapes, so the table below
+    needs only dtype + seq keys (``causal`` is accepted for future
+    per-path splits; causal f32 past 4096 instead drops to the
+    two-pass kernels — see flash_attention_backward).  FCSA_FB_BK /
+    FCSA_FB_BQI override for sweeps.
     """
     import os
 
@@ -146,8 +156,17 @@ def pick_fused_bwd_blocks(dtype, head_dim: int, seq_q: int, seq_k: int):
         bk, bqi = int(env_bk), int(env_bqi)
     elif dtype == jnp.float32:
         # f32 score tiles are 4-byte twice over (s^T and dP^T live
-        # together): halve both axes
-        bk, bqi = 512, 512
+        # together): quarter both axes — the 3-pass f32 matmuls keep the
+        # MXU busy enough that small tiles cost nothing non-causally
+        # (v5e r5 @4096: (256,256) 7.63 ms vs (512,512) 7.99) and causal
+        # collapses at anything bigger ((256,256) 4.72 vs (512,512) 10.32)
+        bk, bqi = 256, 256
+    elif seq_q > 4096:
+        # v5e r5 sweep (bf16 d=64 @8192): causal (512, 1024) 6.79 ms vs
+        # 12.6 at (1024, 1024); non-causal the two tie (9.96 vs 10.0),
+        # so the seq key alone decides.  At seq <= 4096 (1024, 1024)
+        # still wins causal (1.81 vs 1.87 @4096)
+        bk, bqi = 512, 1024
     else:
         # v5e round-4 sweep (causal bf16 d=64 @4096): see bwd_kernel
         bk, bqi = 1024, 1024

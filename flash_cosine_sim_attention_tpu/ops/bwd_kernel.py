@@ -616,7 +616,8 @@ def _backward_fused(
     seq_k = k.shape[2]
     q_per_kv = h // kvh
 
-    bk, bqi = blocks_f or pick_fused_bwd_blocks(q.dtype, d, seq_q, seq_k)
+    bk, bqi = blocks_f or pick_fused_bwd_blocks(q.dtype, d, seq_q, seq_k,
+                                                causal=causal)
     bqo = _round_up(seq_q, bqi)           # whole q extent, one padded block
     nk = pl.cdiv(seq_k, bk)
 
@@ -1347,6 +1348,11 @@ def flash_attention_backward(
         and blocks_t is None and blocks_t_kv is None
         and block_q is None and block_k is None
         and seq_q <= onepass_bwd_max_seq()
+        # causal f32 past 4096 is the one-pass path's measured hole: every
+        # swept (bk, bqi) ran 35-41 ms @8192 vs 30.7 for the two-pass
+        # kernels (v5e r5) — the predicated causal branches stop
+        # overlapping at f32 tile sizes long before the residency cap
+        and not (causal and q.dtype == jnp.float32 and seq_q > 4096)
     )
     if use_onepass:
         dq, dk, dv = _backward_fused(
