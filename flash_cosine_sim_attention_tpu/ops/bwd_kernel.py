@@ -105,7 +105,8 @@ def _dq_kernel_t(
     has_bias = bias_reduce > 0
     if has_bias:
         biasT_ref = refs[idx]; idx += 1   # (1, bko, block_q) j-major
-        dqT_ref, dbT_ref, dq_acc = refs[idx], refs[idx + 1], refs[idx + 2]
+        dqT_ref, dbT_ref = refs[idx], refs[idx + 1]
+        dq_acc, db_acc = refs[idx + 2], refs[idx + 3]
         qi = pl.program_id(1)
         ki = pl.program_id(2)
         nk = pl.num_programs(2)
@@ -120,9 +121,13 @@ def _dq_kernel_t(
     if has_bias:
         @pl.when(ri == 0)
         def _init_db():
-            # zero the whole dbT block unconditionally: causal-skipped
-            # blocks must land as zeros, and sub-tiles accumulate slices
-            dbT_ref[...] = jnp.zeros_like(dbT_ref)
+            # zero the whole f32 accumulator unconditionally:
+            # causal-skipped blocks must land as zeros, and sub-tiles
+            # accumulate slices.  dB accumulates in VMEM scratch and hits
+            # HBM exactly once, already cast to the bias dtype — storing
+            # f32 and casting in XLA cost an extra 536 MB round-trip at
+            # the (h, 4096, 4096) headline bias
+            db_acc[...] = jnp.zeros_like(db_acc)
 
         @pl.when(ki == 0)
         def _init():
@@ -203,8 +208,8 @@ def _dq_kernel_t(
                     # ds IS dS^T == dBias^T for this tile (pre-scale: the
                     # reference, too, accumulates dB before ds *= scale,
                     # cu:1574-1582); q-lane bounds need no mask — OOB
-                    # lanes fall outside the array at write-back
-                    dbT_ref[0, j * bki:(j + 1) * bki, off:] += ds
+                    # lanes are cropped at the block write-back
+                    db_acc[j * bki:(j + 1) * bki, off:] += ds
                 # K's OOB rows multiply only zeroed ds rows, but garbage
                 # can be non-finite: zero them.  NOT gated on seq_k % bki:
                 # an explicit outer block override can over-cover
@@ -261,6 +266,13 @@ def _dq_kernel_t(
             # the LAST visit of each (reduce, qi) block — here, ki == nk-1
             # — must hold the finished dq, and it does
             dqT_ref[0, 0] = (dq_acc[ri] * scale).astype(out_dtype)
+
+        nr = pl.num_programs(3)
+
+        @pl.when(ri == nr - 1)
+        def _store_db():
+            # one HBM store per (ki, qi) block, in the bias dtype
+            dbT_ref[0] = db_acc[...].astype(dbT_ref.dtype)
     else:
         @pl.when(ki == nk - 1)
         def _finalize():
@@ -869,10 +881,13 @@ def _backward_transposed(
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((b, h, d, seq_q), q.dtype),
+                # dB^T lands pre-cast to the bias dtype (f32 accumulation
+                # stays in the kernel's VMEM scratch)
                 jax.ShapeDtypeStruct((biasT.shape[0], seq_k, seq_q),
-                                     jnp.float32),
+                                     bias.dtype),
             ],
-            scratch_shapes=[pltpu.VMEM((bias_reduce, d, bq), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((bias_reduce, d, bq), jnp.float32),
+                            pltpu.VMEM((bko, bq), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(),
                 dimension_semantics=("parallel", "parallel", "arbitrary",

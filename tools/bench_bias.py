@@ -43,33 +43,44 @@ def main():
     bias = jnp.asarray(
         rng.standard_normal((bias_dim, args.n, args.n)) * 0.5, dtype)
 
+    # the bias rides as a jit ARGUMENT (a closure constant would embed
+    # all 268 MB of it in the remote-compile payload -> HTTP 413 on the
+    # tunneled backend)
+    # the output (fwd) / dQ (fwd+bwd) feeds the next query so the loop is
+    # data-dependent (without this XLA hoists the invariant attention call)
     def run_fwd(bias_arg):
         @jax.jit
-        def f(n, q, k, v):
-            def body(i, acc):
-                o = fcsa.flash_cosine_sim_attention(
+        def f(n, q, k, v, bias_arg):
+            def body(i, q):
+                return fcsa.flash_cosine_sim_attention(
                     q, k, v, attn_bias=bias_arg, causal=causal,
-                    attn_bias_batch_dim=args.bbd)
-                return acc + jnp.sum(o.astype(jnp.float32))
-            return jax.lax.fori_loop(0, n, body, 0.0)
-        return _slope_ms(lambda n: f(n, q, k, v), 10)
+                    attn_bias_batch_dim=args.bbd).astype(q.dtype)
+            out = jax.lax.fori_loop(0, n, body, q)
+            return jnp.sum(out.astype(jnp.float32))
+        return _slope_ms(lambda n: f(n, q, k, v, bias_arg), 10)
 
     def run_fwdbwd(bias_arg):
         has_bias = bias_arg is not None
+        argnums = (0, 1, 2, 3) if has_bias else (0, 1, 2)
+
         @jax.jit
-        def f(n, q, k, v):
+        def f(n, q, k, v, bias_arg):
             def loss(q, k, v, bias_arg):
                 o = fcsa.flash_cosine_sim_attention(
                     q, k, v, attn_bias=bias_arg, causal=causal,
                     attn_bias_batch_dim=args.bbd)
                 return jnp.sum(o.astype(jnp.float32))
-            argnums = (0, 1, 2, 3) if has_bias else (0, 1, 2)
-            def body(i, acc):
+            def body(i, q):
                 grads = jax.grad(loss, argnums=argnums)(q, k, v, bias_arg)
-                return acc + sum(jnp.sum(g.astype(jnp.float32))
-                                 for g in grads)
-            return jax.lax.fori_loop(0, n, body, 0.0)
-        return _slope_ms(lambda n: f(n, q, k, v), 10)
+                # dq carries; a touch of db keeps the bias grad live too
+                dq = grads[0]
+                if has_bias:
+                    dq = dq + jnp.sum(grads[3].astype(jnp.float32))\
+                        .astype(dq.dtype)
+                return dq.astype(q.dtype)
+            out = jax.lax.fori_loop(0, n, body, q)
+            return jnp.sum(out.astype(jnp.float32))
+        return _slope_ms(lambda n: f(n, q, k, v, bias_arg), 10)
 
     t_fwd_u = run_fwd(None)
     t_fwd_b = run_fwd(bias)

@@ -42,13 +42,17 @@ def main():
                    for _ in range(3))
 
         def timed(qk_int8):
+            # the output feeds the next query (l2norm inside re-normalizes)
+            # so the loop is data-dependent — without this XLA hoists the
+            # loop-invariant attention call and the slope measures zero
             @jax.jit
             def run(steps, q, k, v):
-                def body(i, acc):
-                    o = fcsa.flash_cosine_sim_attention(
-                        q, k, v, causal=args.causal, qk_int8=qk_int8)
-                    return acc + jnp.sum(o.astype(jnp.float32))
-                return jax.lax.fori_loop(0, steps, body, 0.0)
+                def body(i, q):
+                    return fcsa.flash_cosine_sim_attention(
+                        q, k, v, causal=args.causal,
+                        qk_int8=qk_int8).astype(q.dtype)
+                out = jax.lax.fori_loop(0, steps, body, q)
+                return jnp.sum(out.astype(jnp.float32))
             return _slope_ms(lambda s: run(s, q, k, v), 20)
 
         t_bf16 = timed(False)
