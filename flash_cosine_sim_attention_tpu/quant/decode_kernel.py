@@ -360,12 +360,21 @@ def quantized_decode_attention(
     """Attention of one new query token against the quantized cache.
 
     Default path (``use_kernel=None``) is the Pallas kernel for int8
-    caches (whole-kvh blocks + length-clamped block elision): measured
-    faster than the XLA einsum at every probed shape on v5e — 0.098 vs
-    0.107 ms (b8 h8 d64 ctx8000), 0.048 vs 0.090 (b8 h8 d128 ctx2000),
-    0.093 vs 0.180 (b8 h16 d128 ctx2000, 86% of the cache-streaming
-    bound) — and the XLA einsum for fp8 (Mosaic's in-kernel e4m3 upcast
-    is pathological; XLA vectorizes it fine, DESIGN.md).
+    caches (whole-kvh blocks + length-clamped block elision), and the
+    XLA einsum for fp8 (Mosaic's in-kernel e4m3 upcast is pathological;
+    XLA vectorizes it fine, DESIGN.md).  v5e r5 measurements (ms/token,
+    kernel vs int8 einsum): 0.031 vs 0.029 (b8 h8 d64 ctx2048), 0.097
+    vs 0.117 (ctx8192), 0.182 vs 0.234 (ctx16384), 0.343 vs 0.351
+    (ctx24576), 0.723 vs 1.116 (b8 h16 d128 ctx16384), 0.048 vs 0.057
+    (b1 h8 d64 ctx32768).  The one probed shape where the kernel loses
+    is a COMPLETELY FULL 32k cache at b8 d64 (0.543 vs 0.384 — ~490
+    GB/s vs ~710; every structural suspect was A/B'd away: block size
+    2048-16384, window 2-8 MB, grid order, head striding, footprint).
+    The kernel stays the default because its cost tracks the live
+    LENGTHS (clamped block elision) while the einsum always streams
+    full capacity — a 32k-capacity slot at typical partial fill is far
+    cheaper on the kernel, and ``use_kernel=False`` is the explicit
+    escape hatch for always-full 32k+ d64 workloads.
     """
     squeeze = q.ndim == 4
     if squeeze:
