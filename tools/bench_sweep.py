@@ -154,8 +154,19 @@ def main():
 
     lines.append(f"Generated by tools/bench_sweep.py in "
                  f"{(time.time()-t0)/60:.0f} min.")
+    # preserve the hand-maintained appendix (bias / int8-QK / decode
+    # sections measured by the dedicated tools) across regenerations
+    appendix = ""
+    marker = "<!-- appendix -->"
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            old = f.read()
+        if marker in old:
+            appendix = old[old.index(marker):]
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
+        if appendix:
+            f.write("\n" + appendix)
     with open(args.json_out, "w") as f:
         json.dump({"device": dev, "results": results}, f, indent=1)
     print(f"wrote {args.out} and {args.json_out}")
