@@ -206,6 +206,17 @@ def pick_fwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
         # f32 tiles are 4-byte: halve the outer K block to keep the
         # double-buffered K/V^T windows + score tile inside VMEM
         bq, bko, bki = 512, 2048, 512
+    elif head_dim <= 32:
+        # v5e r5 head-dim sweep (causal @4096): the shallower contraction
+        # favors a finer causal lane-narrowing granule — d16 0.80 ms vs
+        # 0.90 at bki 1024, d32 0.845 vs 0.913; non-causal is neutral
+        # (d16: 0.973 vs 0.978), so head_dim alone keys the row
+        bq, bko, bki = 1024, 4096, 512
+    elif 64 < head_dim <= 96:
+        # v5e r5: d96 causal 0.776 ms at bki 256 vs 1.024 at 1024
+        # (ncase=4 narrowing pays for itself at the 6-sublane-tile d);
+        # non-causal neutral (1.395 vs 1.389)
+        bq, bko, bki = 1024, 4096, 256
     else:
         # v5e round-3/4 sweep (causal bf16 d=64 @4096): (1024, 4096,
         # 1024) -> 0.870 ms vs 0.977 @the old (512, 4096, 512) — fewer
