@@ -203,9 +203,12 @@ def pick_fwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
     if all(env):
         bq, bko, bki = (int(x) for x in env)
     elif dtype == jnp.float32:
-        # f32 tiles are 4-byte: halve the outer K block to keep the
-        # double-buffered K/V^T windows + score tile inside VMEM
-        bq, bko, bki = 512, 2048, 512
+        # v5e r5 sweep: (1024, 4096, 512) wins both causal (2.38 ms vs
+        # 2.50 at the old (512, 2048, 512)) and plain (3.77 vs 3.93)
+        # @4096 — with the 3-pass f32 matmuls the bigger streamed block
+        # amortizes like bf16's, and bki 512 keeps the f32 score tile
+        # (and causal narrowing granule) at half the bf16 footprint
+        bq, bko, bki = 1024, 4096, 512
     elif head_dim <= 32:
         # v5e r5 head-dim sweep (causal @4096): the shallower contraction
         # favors a finer causal lane-narrowing granule — d16 0.80 ms vs
