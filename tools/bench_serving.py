@@ -35,13 +35,14 @@ def main():
     ap.add_argument("--fuse-qkv", action="store_true",
                     help="fuse each layer's q/k/v projections into one "
                          "matmul (fuse_qkv_params)")
+    ap.add_argument("--heads", type=int, default=8)
     args = ap.parse_args()
 
     from flash_cosine_sim_attention_tpu.models import (
         CosineSimCausalTransformer,
     )
 
-    heads = 8
+    heads = args.heads
     model = CosineSimCausalTransformer(
         num_tokens=256, dim=args.dim, depth=args.depth,
         max_seq_len=args.capacity, heads=heads, dim_head=args.dim // heads,
