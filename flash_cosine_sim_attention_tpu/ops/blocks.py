@@ -227,6 +227,13 @@ def pick_fwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
         # inner sub-tile's extra diagonal waste is cheaper than the
         # per-sub-tile overhead it removes
         bq, bko, bki = 1024, 4096, 1024
+    if dtype != jnp.float32 and seq_k > 4096:
+        # r5 @8192: streaming the whole K extent in ONE outer block wins
+        # causal (3.06 ms vs 3.22 at bko 4096) and plain (4.52 vs 4.62);
+        # bko clamps to the seq cover below, so seqs <= 4096 are
+        # untouched and 16k+ caps at an 8192 window (4 MB double-
+        # buffered K/V^T at d=64).  f32 keeps 4096 (4-byte windows)
+        bko = 8192
     bq = min(bq, _round_up(max(seq_q, 1), 128))
     bki = min(bki, _round_up(max(seq_k, 1), 128))
     # bko MUST be a multiple of bki (see pick_bwd_blocks_t)
