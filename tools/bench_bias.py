@@ -72,12 +72,14 @@ def main():
                 return jnp.sum(o.astype(jnp.float32))
             def body(i, q):
                 grads = jax.grad(loss, argnums=argnums)(q, k, v, bias_arg)
-                # dq carries; a touch of db keeps the bias grad live too
+                # dq carries the dependence; EVERY other grad must fold
+                # into it too — an unconsumed dk/dv lets XLA DCE the
+                # entire dKdV pallas_call on the two-pass (biased) path
+                # and the "backward" times only the dQ kernel
                 dq = grads[0]
-                if has_bias:
-                    dq = dq + jnp.sum(grads[3].astype(jnp.float32))\
-                        .astype(dq.dtype)
-                return dq.astype(q.dtype)
+                extra = sum(jnp.sum(g.astype(jnp.float32))
+                            for g in grads[1:])
+                return (dq + extra.astype(dq.dtype)).astype(q.dtype)
             out = jax.lax.fori_loop(0, n, body, q)
             return jnp.sum(out.astype(jnp.float32))
         return _slope_ms(lambda n: f(n, q, k, v, bias_arg), 10)
