@@ -1,7 +1,9 @@
 # mirrors the reference Makefile targets (install / test / benchmark* / train)
 
 install:
-	pip install -e .
+	# --no-build-isolation: works offline (pip's isolated build env would
+	# try to fetch setuptools from PyPI even though it is installed)
+	pip install -e . --no-build-isolation
 
 test:
 	python -m pytest tests/ -x -q
