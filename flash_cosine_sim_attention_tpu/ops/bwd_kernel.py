@@ -456,6 +456,7 @@ def _dkdv_kernel_t(
 def _fused_bwd_kernel_t(
     *refs,
     scale, causal, seq_q, seq_k, bqo, bqi, bk, has_mask, out_dtype,
+    narrow=0,
 ):
     """ONE-pass fused backward: dQ + dK + dV from a single recompute sweep.
 
@@ -526,22 +527,28 @@ def _fused_bwd_kernel_t(
         q0 = j * bqi                      # STATIC: q is fully resident
         q_edge = (j + 1) * bqi > seq_q    # static: only the last sub-tile
 
-        def _sub(masked, j=j, q0=q0, q_edge=q_edge):
-            sl = slice(j * bqi, (j + 1) * bqi)
-            qTj_raw = qT_ref[0, 0, :, sl]                 # (d, bqi)
+        def _sub(masked, off=0, j=j, q0=q0, q_edge=q_edge):
+            # ``off`` statically narrows the q-lane window to
+            # [q0+off, q0+bqi): a causal straddle whose diagonal starts t
+            # lanes into the sub-tile has its first t lanes fully masked,
+            # so the per-granule cases below skip their matmul work
+            # entirely (same lane-narrowing as _dq_kernel_t)
+            w = bqi - off
+            sl = slice(j * bqi + off, (j + 1) * bqi)
+            qTj_raw = qT_ref[0, 0, :, sl]                 # (d, w)
             doTj = doT_ref[0, 0, :, sl]
             if masked and q_edge and q_ragged:
                 # zero Q/dO's OOB lanes: they CONTRACT into dk/dv and
                 # 0 * garbage = NaN otherwise
-                lane_q = q0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, bqi), 1)
+                lane_q = q0 + off + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, w), 1)
                 in_b = lane_q < seq_q
                 qTj_raw = jnp.where(in_b, qTj_raw, jnp.zeros_like(qTj_raw))
                 doTj = jnp.where(in_b, doTj, jnp.zeros_like(doTj))
             qTj = (qTj_raw.astype(jnp.float32) * c).astype(qT_ref.dtype)
-            delta = deltaT_ref[0, 0, :, sl]               # (1, bqi)
+            delta = deltaT_ref[0, 0, :, sl]               # (1, w)
 
-            sT = mm(k, qTj, (((1,), (0,)), ((), ())))     # (bk, bqi)
+            sT = mm(k, qTj, (((1,), (0,)), ((), ())))     # (bk, w)
             dpT = mm(v, doTj, (((1,), (0,)), ((), ())))
             e = jnp.exp2(sT)
             ds = e * (dpT - delta)
@@ -549,14 +556,14 @@ def _fused_bwd_kernel_t(
             keep = None
             row_q = None
             if masked and (q_edge or causal):
-                row_q = q0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (bk, bqi), 1)
+                row_q = q0 + off + jax.lax.broadcasted_iota(
+                    jnp.int32, (bk, w), 1)
             if masked and q_edge and q_ragged:
                 keep = row_q < seq_q
             col_k = None
             if masked and (causal or k_ragged):
                 col_k = ki * bk + jax.lax.broadcasted_iota(
-                    jnp.int32, (bk, bqi), 0)
+                    jnp.int32, (bk, w), 0)
             if masked and k_ragged:
                 # OOB k rows CONTRACT into dq (and carry garbage s/dp)
                 kb = col_k < seq_k
@@ -585,7 +592,7 @@ def _fused_bwd_kernel_t(
                     jnp.int32, (bk, 1), 0)
                 kz = jnp.where(k_rows < seq_k, k, jnp.zeros_like(k))
             dq_acc[:, sl] += mm(kz, ds2.astype(kz.dtype),
-                                (((0,), (0,)), ((), ())))  # (d, bqi)
+                                (((0,), (0,)), ((), ())))  # (d, w)
 
         if causal:
             # three-way per q sub-tile (k block is the traced side): above
@@ -598,7 +605,21 @@ def _fused_bwd_kernel_t(
             sub_interior = ki * bk + bk - 1 <= q0 + seq_len_diff
             sub_visible = q0 + bqi - 1 + seq_len_diff >= ki * bk
             straddle = sub_visible & jnp.logical_not(sub_interior)
-            pl.when(straddle)(lambda: _sub(True))
+            if narrow and bqi > narrow and bqi % narrow == 0:
+                # per-granule lane-narrowed straddle cases: the diagonal
+                # starts t lanes into the sub-tile; lanes < t are fully
+                # masked, so case c runs the window [c*narrow, bqi).
+                # t >= narrow rules out interior (interior needs t < 0)
+                # and t < bqi is exactly sub_visible, so the c >= 1 cases
+                # imply straddle on their own
+                t = ki * bk - (q0 + seq_len_diff)
+                pl.when(straddle & (t < narrow))(lambda: _sub(True))
+                for cs in range(1, bqi // narrow):
+                    pl.when((t >= cs * narrow)
+                            & (t < (cs + 1) * narrow))(
+                        functools.partial(_sub, True, cs * narrow))
+            else:
+                pl.when(straddle)(lambda: _sub(True))
             interior_masked = q_edge and q_ragged
             pl.when(sub_interior)(
                 functools.partial(_sub, interior_masked))
@@ -670,7 +691,10 @@ def _backward_fused(
         functools.partial(
             _fused_bwd_kernel_t, scale=float(scale), causal=causal,
             seq_q=seq_q, seq_k=seq_k, bqo=bqo, bqi=bqi, bk=bk,
-            has_mask=has_mask, out_dtype=q.dtype),
+            has_mask=has_mask, out_dtype=q.dtype,
+            # lane-narrowing granule for causal straddle sub-tiles
+            # (0 = off; A/B hook, see the kernel's straddle cases)
+            narrow=int(os.environ.get("FCSA_FB_NARROW", "0"))),
         grid=(b, h, nk),
         in_specs=in_specs,
         out_specs=[
