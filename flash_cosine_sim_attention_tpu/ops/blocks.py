@@ -196,10 +196,12 @@ def pick_fwd_blocks_t(dtype, head_dim: int, seq_q: int, seq_k: int):
     The transposed kernel streams Q positions on lanes, so ``block_q`` is
     a lane count; K is consumed in big outer blocks (one DMA, one grid
     step) walked by an unrolled inner sub-tile loop that bounds the live
-    f32 score tile to (block_k_inner, block_q).  v5e sweep (causal bf16
-    d=64 @4096): (512, 4096, 512) = 0.88 ms vs 1.23 for the row-major
-    kernel — big outer blocks amortize per-grid-step overhead, the inner
-    512 keeps causal skipping fine-grained.  FCSA_FWD_BQ/BKO/BKI override.
+    f32 score tile to (block_k_inner, block_q) — big outer blocks
+    amortize per-grid-step overhead (the r2 sweep's (512, 4096, 512) ran
+    0.88 ms causal bf16 d=64 @4096 vs 1.23 for the row-major kernel; the
+    r4/r5 rows below improve on it per dtype/head_dim, and seqs past
+    4096 stream the WHOLE K extent as one outer block).
+    FCSA_FWD_BQ/BKO/BKI override.
     """
     import os
 
